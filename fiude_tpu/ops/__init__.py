@@ -1,0 +1,14 @@
+from fiude_tpu.ops.integrate import (
+    odeint,
+    odeint_grid,
+    odeint_dopri5,
+    STAGES,
+)
+from fiude_tpu.ops.stats import (
+    normal_logpdf,
+    kl_normal,
+    mean_std,
+    std,
+    masked_mean,
+    masked_mean_std,
+)

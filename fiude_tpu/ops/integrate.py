@@ -1,0 +1,311 @@
+"""ODE integrators as XLA-friendly `lax.scan` / `lax.while_loop` programs.
+
+This module owns the numerical core the reference outsources to ``torchdiffeq``
+(``odeint(func, y0, t, method='rk4', options={'step_size': ...})``, see
+reference ``lib/VAE.py:137``).  Design is TPU-first:
+
+* Fixed-grid steppers are a single ``lax.scan`` over time intervals — one
+  compiled program, static shapes, no host round-trips.  The batch dimension
+  (Monte-Carlo samples x batch x regions) rides through every right-hand-side
+  evaluation as one large matmul-friendly leading axis.
+* ``torchdiffeq``'s ``method='rk4'`` is actually the Kutta 3/8 rule
+  (``rk4_alt_step_func``); we expose that as the default ``"rk4"`` for
+  numerical parity with the reference training dynamics, plus the classic
+  Runge-Kutta 4 ("rk4_classic"), midpoint and Euler.
+* Adaptive Dormand-Prince 5(4) with a PI step controller is implemented as a
+  bounded ``lax.while_loop`` per output interval (dense output via 4th-order
+  Hermite interpolation is unnecessary because the step is clamped to land on
+  requested output times).
+* Right-hand sides may return ``(dy, aux)`` where ``aux`` is an arbitrary
+  pytree.  Stage-ordered auxiliaries are collected functionally by the scan —
+  this replaces the reference's mutable ``self.params`` / ``self.tracker``
+  lists (reference ``lib/models.py:137,187``) that feed the empirical (beta,
+  gamma) posterior and the Fa-norm penalty.
+* ``checkpoint=True`` wraps each interval step in ``jax.checkpoint`` so
+  backprop through long horizons (up to 85 steps x 4 stages) trades FLOPs for
+  HBM, keeping `n_samples*batch >= 2048` ensembles resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+RHS = Callable[[jnp.ndarray, jnp.ndarray], Any]
+
+
+def _wrap_rhs(rhs: RHS):
+    """Normalize a right-hand side to always return ``(dy, aux)``."""
+
+    def f(t, y):
+        out = rhs(t, y)
+        if isinstance(out, tuple) and len(out) == 2:
+            return out
+        return out, None
+
+    return f
+
+
+def _stack_stage_aux(*auxs):
+    """Stack per-stage aux pytrees along a new leading 'stage' axis."""
+    if all(a is None for a in auxs):
+        return None
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *auxs)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-step stage functions
+# ---------------------------------------------------------------------------
+
+def _euler_step(f, t0, dt, y0):
+    k1, a1 = f(t0, y0)
+    return y0 + dt * k1, _stack_stage_aux(a1)
+
+
+def _midpoint_step(f, t0, dt, y0):
+    k1, a1 = f(t0, y0)
+    k2, a2 = f(t0 + dt * 0.5, y0 + dt * 0.5 * k1)
+    return y0 + dt * k2, _stack_stage_aux(a1, a2)
+
+
+def _rk4_38_step(f, t0, dt, y0):
+    """Kutta 3/8 rule — bit-level analogue of torchdiffeq's 'rk4'."""
+    one_third = 1.0 / 3.0
+    two_thirds = 2.0 / 3.0
+    k1, a1 = f(t0, y0)
+    k2, a2 = f(t0 + dt * one_third, y0 + dt * k1 * one_third)
+    k3, a3 = f(t0 + dt * two_thirds, y0 + dt * (k2 - k1 * one_third))
+    k4, a4 = f(t0 + dt, y0 + dt * (k1 - k2 + k3))
+    y1 = y0 + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
+    return y1, _stack_stage_aux(a1, a2, a3, a4)
+
+
+def _rk4_classic_step(f, t0, dt, y0):
+    k1, a1 = f(t0, y0)
+    k2, a2 = f(t0 + dt * 0.5, y0 + dt * 0.5 * k1)
+    k3, a3 = f(t0 + dt * 0.5, y0 + dt * 0.5 * k2)
+    k4, a4 = f(t0 + dt, y0 + dt * k3)
+    y1 = y0 + dt * (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+    return y1, _stack_stage_aux(a1, a2, a3, a4)
+
+
+_FIXED_STEPPERS = {
+    "euler": _euler_step,
+    "midpoint": _midpoint_step,
+    "rk4": _rk4_38_step,        # parity with torchdiffeq method='rk4'
+    "rk4_38": _rk4_38_step,
+    "rk4_classic": _rk4_classic_step,
+}
+
+#: number of RHS evaluations per step for each fixed method
+STAGES = {"euler": 1, "midpoint": 2, "rk4": 4, "rk4_38": 4, "rk4_classic": 4}
+
+
+def odeint_grid(
+    rhs: RHS,
+    y0: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    method: str = "rk4",
+    substeps: int = 1,
+    unroll: int = 1,
+    checkpoint: bool = False,
+) -> Tuple[jnp.ndarray, Any]:
+    """Integrate ``dy/dt = rhs(t, y)`` on the grid ``t`` with fixed steps.
+
+    Matches the reference's hot loop (``odeint(..., method='rk4',
+    options={'step_size': t[1]-t[0]})``, reference ``lib/VAE.py:126,137``):
+    one step per consecutive output pair when ``substeps == 1`` (the reference
+    always passes ``step_size == t[1]-t[0]`` on a uniform grid, i.e. exactly
+    one RK step per interval).
+
+    Args:
+      rhs: callable ``(t, y) -> dy`` or ``(t, y) -> (dy, aux)``.
+      y0: initial state, any shape.
+      t: 1-D output time grid, length ``T >= 1`` (need not be uniform).
+      method: one of ``euler | midpoint | rk4 | rk4_38 | rk4_classic``.
+      substeps: equal sub-steps per output interval (>=1).
+      unroll: scan unroll factor (TPU pipelining knob).
+      checkpoint: rematerialize each interval in the backward pass.
+
+    Returns:
+      ``(ys, aux)``: ``ys`` has shape ``(T,) + y0.shape`` with ``ys[0] == y0``;
+      ``aux`` is the RHS aux pytree stacked with leading dims
+      ``(T-1, substeps, stages)`` (``(T-1, stages)`` when ``substeps == 1``),
+      or ``None`` if the RHS produces no aux.
+    """
+    if method not in _FIXED_STEPPERS:
+        raise ValueError(f"unknown method {method!r}; options: {sorted(_FIXED_STEPPERS)}")
+    step = _FIXED_STEPPERS[method]
+    f = _wrap_rhs(rhs)
+    t = jnp.asarray(t)
+    if t.ndim != 1:
+        raise ValueError("t must be 1-D")
+
+    def interval(y, t0_dt):
+        t0, dt_total = t0_dt
+        if substeps == 1:
+            y1, aux = step(f, t0, dt_total, y)
+        else:
+            h = dt_total / substeps
+
+            def sub(y, i):
+                return step(f, t0 + i.astype(t0.dtype) * h, h, y)
+
+            y1, aux = jax.lax.scan(sub, y, jnp.arange(substeps))
+        return y1, (y1, aux)
+
+    if checkpoint:
+        interval = jax.checkpoint(interval)
+
+    _, (ys, aux) = jax.lax.scan(
+        interval, y0, (t[:-1], t[1:] - t[:-1]), unroll=unroll
+    )
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    return ys, aux
+
+
+# ---------------------------------------------------------------------------
+# Adaptive Dormand-Prince 5(4) with PI step-size control
+# ---------------------------------------------------------------------------
+
+# Butcher tableau (Dormand & Prince 1980).
+_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DP_B4 = jnp.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def _dopri5_step(f, t0, dt, y0, f0):
+    """One DP5(4) step with FSAL. Returns (y5, y_err, f_last)."""
+    ks = [f0]
+    for i in range(1, 7):
+        yi = y0
+        for j, a in enumerate(_DP_A[i]):
+            yi = yi + dt * a * ks[j]
+        ki, _ = f(t0 + _DP_C[i] * dt, yi)
+        ks.append(ki)
+    y5 = y0
+    for b, k in zip(_DP_B5, ks):
+        y5 = y5 + dt * b * k
+    y_err = jnp.zeros_like(y0)
+    for b5, b4, k in zip(_DP_B5, _DP_B4, ks):
+        y_err = y_err + dt * (b5 - b4) * k
+    return y5, y_err, ks[-1]  # FSAL: k7 = f(t0+dt, y5)
+
+
+def odeint_dopri5(
+    rhs: RHS,
+    y0: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    rtol: float = 1e-6,
+    atol: float = 1e-8,
+    max_steps_per_interval: int = 256,
+    safety: float = 0.9,
+    pi_alpha: float = 0.7 / 5.0,
+    pi_beta: float = 0.4 / 5.0,
+    dt0: Optional[float] = None,
+) -> jnp.ndarray:
+    """Adaptive RK45 (Dormand-Prince) on an output grid ``t``.
+
+    XLA-friendly: an outer ``lax.scan`` walks the output intervals; an inner
+    bounded ``lax.while_loop`` advances adaptively inside each interval with
+    the trial step clamped so it lands exactly on the interval endpoint (no
+    dense interpolation needed, shapes stay static).  Step-size selection uses
+    a PI controller: ``dt *= safety * err^(-alpha) * err_prev^(beta)``.
+
+    This is the "adaptive RK45 with PID step control in an XLA-friendly
+    while_loop" required by the north star (capability the reference lacks —
+    it only ever uses fixed-step RK4).
+
+    Returns ``ys`` of shape ``(T,) + y0.shape``. Aux collection is not
+    supported on the adaptive path (step count is data-dependent).
+    """
+    f = _wrap_rhs(rhs)
+    t = jnp.asarray(t)
+    dtype = y0.dtype
+
+    def err_norm(y_err, y0_, y1_):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y0_), jnp.abs(y1_))
+        return jnp.sqrt(jnp.mean(jnp.square(y_err / scale)))
+
+    def interval(carry, t_pair):
+        y, f_y, dt, err_prev = carry
+        t0, t1 = t_pair
+
+        def cond(state):
+            return jnp.logical_and(state[0] < t1 - 1e-12, state[5] < max_steps_per_interval)
+
+        def body(state):
+            t_cur, y_cur, f_cur, dt_cur, ep, n = state
+            h = jnp.minimum(dt_cur, t1 - t_cur)
+            y_new, y_err, f_new = _dopri5_step(f, t_cur, h, y_cur, f_cur)
+            err = err_norm(y_err, y_cur, y_new)
+            err = jnp.maximum(err, 1e-10)
+            accept = err <= 1.0
+            factor = safety * err ** (-pi_alpha) * ep ** (pi_beta)
+            factor = jnp.clip(factor, 0.2, 5.0)
+            dt_next = jnp.maximum(h * factor, 1e-8)
+            t_cur = jnp.where(accept, t_cur + h, t_cur)
+            y_cur = jax.tree.map(lambda a, b: jnp.where(accept, b, a), y_cur, y_new)
+            f_cur = jax.tree.map(lambda a, b: jnp.where(accept, b, a), f_cur, f_new)
+            ep = jnp.where(accept, err, ep)
+            return (t_cur, y_cur, f_cur, dt_next, ep, n + 1)
+
+        t_end, y, f_y, dt, err_prev, _ = jax.lax.while_loop(
+            cond, body, (t0, y, f_y, dt, err_prev, jnp.asarray(0, jnp.int32))
+        )
+        return (y, f_y, dt, err_prev), y
+
+    f0, _ = f(t[0], y0)
+    if dt0 is None:
+        dt_init = jnp.asarray((t[-1] - t[0]) / jnp.maximum(t.shape[0] - 1, 1) / 4.0, dtype)
+    else:
+        dt_init = jnp.asarray(dt0, dtype)
+    carry0 = (y0, f0, dt_init, jnp.asarray(1.0, dtype))
+    _, ys = jax.lax.scan(interval, carry0, (t[:-1], t[1:]))
+    return jnp.concatenate([y0[None], ys], axis=0)
+
+
+def odeint(
+    rhs: RHS,
+    y0: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    method: str = "rk4",
+    **options,
+):
+    """torchdiffeq-flavoured convenience dispatcher.
+
+    ``odeint(f, y0, t, method='rk4', step_size=...)`` mirrors the reference
+    call shape (``lib/VAE.py:137``): ``step_size`` is converted to an integer
+    substep count per output interval.  Returns only ``ys`` (aux dropped) for
+    drop-in use; use :func:`odeint_grid` to collect RHS auxiliaries.
+    """
+    if method == "dopri5":
+        return odeint_dopri5(rhs, y0, t, **options)
+    step_size = options.pop("step_size", None)
+    substeps = options.pop("substeps", None)
+    if substeps is None:
+        if step_size is None:
+            substeps = 1
+        else:
+            interval = float(t[1] - t[0])
+            substeps = max(int(round(interval / float(step_size))), 1)
+    ys, _ = odeint_grid(rhs, y0, t, method=method, substeps=substeps, **options)
+    return ys

@@ -1,0 +1,194 @@
+"""Solver core tests: convergence order, exactness, aux collection, grads."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fiude_tpu.ops import odeint, odeint_grid, odeint_dopri5
+
+jax.config.update("jax_enable_x64", True)
+
+
+def exp_rhs(t, y):
+    return -y
+
+
+def sir_rhs(t, y):
+    beta, gamma = 0.8, 0.55
+    s, i, r = y[..., 0], y[..., 1], y[..., 2]
+    ds = -beta * s * i
+    di = beta * s * i - gamma * i
+    dr = gamma * i
+    return jnp.stack([ds, di, dr], axis=-1)
+
+
+class TestFixedGrid:
+    def test_exponential_decay_rk4(self):
+        t = jnp.linspace(0.0, 2.0, 21, dtype=jnp.float64)
+        y0 = jnp.array([1.0, 2.0], dtype=jnp.float64)
+        ys, _ = odeint_grid(exp_rhs, y0, t, method="rk4")
+        expected = y0[None] * jnp.exp(-t)[:, None]
+        np.testing.assert_allclose(ys, expected, rtol=1e-5)
+
+    def test_initial_point_is_y0(self):
+        t = jnp.linspace(0.0, 1.0, 5)
+        y0 = jnp.array([0.3, 0.7])
+        ys, _ = odeint_grid(exp_rhs, y0, t)
+        np.testing.assert_array_equal(np.asarray(ys[0]), np.asarray(y0))
+
+    @pytest.mark.parametrize("method,order", [
+        ("euler", 1), ("midpoint", 2), ("rk4", 4), ("rk4_classic", 4),
+    ])
+    def test_convergence_order(self, method, order):
+        """Halving the step should cut the error by ~2^order."""
+        y0 = jnp.array([1.0], dtype=jnp.float64)
+        t_end = 1.0
+
+        def err(n):
+            t = jnp.linspace(0.0, t_end, n + 1, dtype=jnp.float64)
+            ys, _ = odeint_grid(exp_rhs, y0, t, method=method)
+            return float(jnp.abs(ys[-1, 0] - jnp.exp(-t_end)))
+
+        e1, e2 = err(16), err(32)
+        rate = np.log2(e1 / e2)
+        assert rate > order - 0.3, f"{method}: observed order {rate:.2f}"
+
+    def test_substeps_match_finer_grid(self):
+        """k substeps on a coarse grid == one step on a k-times finer grid."""
+        y0 = jnp.array([1.0, 0.1, 0.0], dtype=jnp.float64)
+        t_coarse = jnp.linspace(0.0, 8.0, 9, dtype=jnp.float64)
+        t_fine = jnp.linspace(0.0, 8.0, 57, dtype=jnp.float64)
+        ys_sub, _ = odeint_grid(sir_rhs, y0, t_coarse, method="rk4", substeps=7)
+        ys_fine, _ = odeint_grid(sir_rhs, y0, t_fine, method="rk4")
+        np.testing.assert_allclose(ys_sub, ys_fine[::7], rtol=1e-12, atol=1e-14)
+
+    def test_sir_conservation(self):
+        """S+I+R is conserved by the SIR field."""
+        y0 = jnp.array([0.9, 0.1, 0.0], dtype=jnp.float64)
+        t = jnp.linspace(0.0, 10.0, 71, dtype=jnp.float64)
+        ys, _ = odeint_grid(sir_rhs, y0, t, method="rk4")
+        totals = jnp.sum(ys, axis=-1)
+        np.testing.assert_allclose(totals, 1.0, rtol=1e-10)
+
+    def test_aux_collection_shape_and_order(self):
+        """Aux pytrees stack as (T-1, stages) in stage evaluation order."""
+        def rhs(t, y):
+            return -y, {"t_eval": t}
+
+        t = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float64)
+        _, aux = odeint_grid(rhs, jnp.ones(2, dtype=jnp.float64), t, method="rk4")
+        assert aux["t_eval"].shape == (3, 4)
+        # 3/8-rule stage times: t0, t0+h/3, t0+2h/3, t0+h
+        h = float(t[1] - t[0])
+        np.testing.assert_allclose(
+            aux["t_eval"][0], [0.0, h / 3, 2 * h / 3, h], rtol=1e-12)
+
+    def test_aux_with_substeps(self):
+        def rhs(t, y):
+            return -y, y
+
+        t = jnp.linspace(0.0, 1.0, 3, dtype=jnp.float64)
+        _, aux = odeint_grid(rhs, jnp.ones(5, dtype=jnp.float64), t,
+                             method="rk4", substeps=2)
+        assert aux.shape == (2, 2, 4, 5)  # (T-1, substeps, stages, state)
+
+    def test_gradient_through_solver(self):
+        """Discretize-then-optimize: d y(T) / d theta vs analytic solution."""
+        def loss(log_rate):
+            rate = jnp.exp(log_rate)
+
+            def rhs(t, y):
+                return -rate * y
+
+            t = jnp.linspace(0.0, 1.0, 51, dtype=jnp.float64)
+            ys, _ = odeint_grid(rhs, jnp.array([1.0], dtype=jnp.float64), t)
+            return ys[-1, 0]
+
+        g = jax.grad(loss)(jnp.asarray(0.0, jnp.float64))
+        # d/d(log k) exp(-k) at k=1 -> -k*exp(-k) = -exp(-1)
+        np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=1e-6)
+
+    def test_checkpoint_gradients_match(self):
+        def make_loss(ckpt):
+            def loss(a):
+                def rhs(t, y):
+                    return -a * y
+                t = jnp.linspace(0.0, 2.0, 30, dtype=jnp.float64)
+                ys, _ = odeint_grid(rhs, jnp.ones(3, jnp.float64), t,
+                                    checkpoint=ckpt)
+                return jnp.sum(ys[-1])
+            return loss
+
+        g0 = jax.grad(make_loss(False))(jnp.asarray(1.3, jnp.float64))
+        g1 = jax.grad(make_loss(True))(jnp.asarray(1.3, jnp.float64))
+        np.testing.assert_allclose(float(g0), float(g1), rtol=1e-12)
+
+    def test_jit_and_vmap(self):
+        t = jnp.linspace(0.0, 1.0, 8)
+        y0 = jnp.ones((16, 3)) * jnp.array([0.9, 0.1, 0.0])
+
+        @jax.jit
+        def run(y0):
+            ys, _ = odeint_grid(sir_rhs, y0, t, method="rk4")
+            return ys
+
+        ys = run(y0)
+        assert ys.shape == (8, 16, 3)
+        ys_v = jax.vmap(lambda y: odeint_grid(sir_rhs, y, t, method="rk4")[0])(y0)
+        np.testing.assert_allclose(ys_v.transpose(1, 0, 2), ys, rtol=1e-6)
+
+
+class TestDopri5:
+    def test_exponential_accuracy(self):
+        t = jnp.linspace(0.0, 3.0, 7, dtype=jnp.float64)
+        y0 = jnp.array([1.0], dtype=jnp.float64)
+        ys = odeint_dopri5(exp_rhs, y0, t, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(ys[:, 0], jnp.exp(-t), rtol=1e-6)
+
+    def test_sir_vs_fine_rk4(self):
+        y0 = jnp.array([0.9, 0.1, 0.0], dtype=jnp.float64)
+        t = jnp.linspace(0.0, 12.0, 13, dtype=jnp.float64)
+        ys_ad = odeint_dopri5(sir_rhs, y0, t, rtol=1e-9, atol=1e-11)
+        t_fine = jnp.linspace(0.0, 12.0, 12 * 200 + 1, dtype=jnp.float64)
+        ys_ref, _ = odeint_grid(sir_rhs, y0, t_fine, method="rk4")
+        np.testing.assert_allclose(ys_ad, ys_ref[::200], rtol=1e-7, atol=1e-9)
+
+    def test_stiffish_decay_adapts(self):
+        """Fast decay handled despite coarse output grid."""
+        def rhs(t, y):
+            return -50.0 * y
+
+        t = jnp.linspace(0.0, 1.0, 3, dtype=jnp.float64)
+        ys = odeint_dopri5(rhs, jnp.array([1.0], jnp.float64), t,
+                           rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(ys[:, 0], jnp.exp(-50.0 * t),
+                                   rtol=1e-4, atol=1e-8)
+
+    def test_jittable_and_differentiable(self):
+        @jax.jit
+        def loss(a):
+            def rhs(t, y):
+                return -a * y
+            t = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float64)
+            ys = odeint_dopri5(rhs, jnp.ones(1, jnp.float64), t)
+            return ys[-1, 0]
+
+        v = loss(jnp.asarray(1.0, jnp.float64))
+        np.testing.assert_allclose(float(v), np.exp(-1.0), rtol=1e-5)
+
+
+class TestDispatcher:
+    def test_step_size_option_parity(self):
+        """odeint(..., step_size=interval) == one step per interval."""
+        t = jnp.arange(0, 5, dtype=jnp.float64)
+        y0 = jnp.array([0.9, 0.1, 0.0], jnp.float64)
+        a = odeint(sir_rhs, y0, t, method="rk4", step_size=1.0)
+        b, _ = odeint_grid(sir_rhs, y0, t, method="rk4", substeps=1)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_step_size_smaller_than_interval(self):
+        t = jnp.arange(0, 3, dtype=jnp.float64)
+        y0 = jnp.array([1.0], jnp.float64)
+        a = odeint(exp_rhs, y0, t, method="rk4", step_size=0.25)
+        b, _ = odeint_grid(exp_rhs, y0, t, method="rk4", substeps=4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
