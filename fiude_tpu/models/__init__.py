@@ -1,0 +1,11 @@
+from fiude_tpu.models.nn import Dense, dense, init_dense, init_dense_normal, elu_mlp, relu_mlp
+from fiude_tpu.models.encoders import (
+    BackGRUEncoder,
+    BiGRUEncoder,
+    MISOGRUEncoder,
+    BiLSTMEncoder,
+    sir_scaler_vector,
+)
+from fiude_tpu.models.decoder import LinearDecoder
+from fiude_tpu.models.rhs import SIRRates, NeuralAug, UDE, empirical_rate_posterior
+from fiude_tpu.models.vae import UDEForecaster, UDEForecasterParams, reparam, make_prior

@@ -1,0 +1,210 @@
+"""The flagship model: variational encoder -> SIR latent UDE -> linear decoder.
+
+Pure-functional re-design of the reference's ``VAE`` orchestrator forward
+path (``lib/VAE.py:35-140``).  One call is one jittable program:
+
+    eps ~ N(0,1)^(S,B,R,Le)          (caller-supplied or rng-drawn)
+    mean, std = encoder(x)            Le = latent_dim - 1
+    z = reparam(eps, std, mean)       simplex: R := 1 - |S| - |I|; fold S into B
+    z += 1e-5
+    latent, aux = odeint_grid(rhs, z, t, method='rk4')   # hot loop
+    y = decoder(latent[..., :3])      -> (B, S, T, R)
+
+Monte-Carlo samples are folded into the batch axis exactly like the
+reference (``lib/models.py:23``) because the RHS MLP flattens
+(regions x latent) — this keeps every MLP layer one large (S*B, F) matmul on
+the MXU instead of S small ones.
+
+Latent-dimension plumbing parity (reference ``lib/VAE.py:63-89``): the
+encoder emits ``latent_dim - 1`` dims; the simplex reparam restores the R
+compartment; the decoder reads 3 dims.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fiude_tpu.models.decoder import LinearDecoder, LinearDecoderParams
+from fiude_tpu.models.encoders import BackGRUEncoder
+from fiude_tpu.models.rhs import NeuralAug, SIRRates, UDE
+from fiude_tpu.ops.integrate import odeint_grid
+
+
+def reparam(eps, std, mean, *, uncertainty: bool = True):
+    """Sample latent ICs and project (S, I) onto the SIR simplex.
+
+    Reference ``lib/models.py:16-24``: ``z = eps*std + mean``;
+    ``z = [|z_S|, |z_I|, 1 - |z_S| - |z_I|, z_rest]``; the MC-sample dim is
+    folded into the batch: (S, B, R, Le) -> (S*B, R, Le+1).
+    """
+    if uncertainty:
+        z = eps * std + mean
+    else:
+        z = jnp.broadcast_to(mean, eps.shape)
+    head = jnp.abs(z[..., :2])
+    r = 1.0 - jnp.sum(head, axis=-1, keepdims=True)
+    z = jnp.concatenate([head, r, z[..., 2:]], axis=-1)
+    return z.reshape((z.shape[0] * z.shape[1],) + z.shape[2:])
+
+
+def make_prior(mean, *, latent_dim: int, z_prior=(0.1, 0.01)):
+    """Latent IC prior: S,I anchored at the encoder mean with tight stds,
+    remaining dims standard normal (reference ``lib/models.py:9-14``).
+
+    Returns (prior_mean, prior_std) broadcastable against ``mean``.
+    """
+    dtype = mean.dtype
+    prior_mean = jnp.concatenate(
+        [mean[..., :2], jnp.zeros_like(mean[..., 2:])], axis=-1)
+    std = jnp.concatenate([
+        jnp.asarray(z_prior, dtype),
+        jnp.ones((latent_dim - len(z_prior) - 1,), dtype),
+    ])
+    prior_std = jnp.broadcast_to(jnp.abs(std), prior_mean.shape)
+    return prior_mean, prior_std
+
+
+@dataclasses.dataclass(frozen=True)
+class UDEForecaster:
+    """Config for the full encoder/ODE/decoder stack.
+
+    ``ode`` is one of the RHS configs (SIRRates | NeuralAug | UDE); the
+    encoder latent dim is ``latent_dim - 1`` (simplex restores one dim),
+    matching the reference constructor quirk where the ``ode_type='Fa'``
+    branch is effectively dead (reference ``lib/VAE.py:72-76`` is keyed on
+    the *argument* default 'Fp', not the instance attribute).
+    """
+    encoder: BackGRUEncoder
+    ode: Any
+    decoder: LinearDecoder
+    latent_dim: int = 8
+    n_regions: int = 1
+    uncertainty: bool = True
+    method: str = "rk4"
+    substeps: int = 1
+    checkpoint_solver: bool = False
+    ic_jitter: float = 1e-5
+
+    @classmethod
+    def build(cls, *, n_regions: int, latent_dim: int, n_qs: int,
+              ode_name: str = "FaFp",
+              enc_params: Optional[Dict[str, Any]] = None,
+              ode_params: Optional[Dict[str, Any]] = None,
+              dec_params: Optional[Dict[str, Any]] = None,
+              uncertainty: bool = True,
+              dtype: str = "float32",
+              **kwargs) -> "UDEForecaster":
+        """Mirror of the reference's VAE(...) constructor plumbing
+        (lib/VAE.py:36-89) with config dicts per sub-module."""
+        enc_params = dict(enc_params or {})
+        ode_params = dict(ode_params or {})
+        dec_params = dict(dec_params or {})
+        # Accept reference kwarg aliases.
+        if "SIR_scaler" in enc_params:
+            enc_params["sir_scaler"] = tuple(enc_params.pop("SIR_scaler"))
+        for k in ("q_sizes", "ff_sizes"):
+            if k in enc_params:
+                enc_params[k] = tuple(enc_params[k])
+        ode_params.pop("prior_std", None)  # only used by the Bayes variants
+        for k in ("net_sizes", "aug_net_sizes"):
+            if k in ode_params:
+                ode_params[k] = tuple(ode_params[k])
+        ode_params.pop("nhidden_fa", None)
+
+        ld_enc = latent_dim - 1
+        encoder = BackGRUEncoder(n_regions=n_regions, n_qs=n_qs,
+                                 latent_dim=ld_enc, uncertainty=uncertainty,
+                                 dtype=dtype, **enc_params)
+        rhs_cls = {"Fp": SIRRates, "CONN": SIRRates,
+                   "Fa": NeuralAug, "SONN": NeuralAug,
+                   "FaFp": UDE, "UONN": UDE}[ode_name]
+        if rhs_cls is NeuralAug:
+            ode_params.pop("net_sizes", None)
+        ode = rhs_cls(n_regions=n_regions, latent_dim=latent_dim,
+                      dtype=dtype, **ode_params)
+        decoder = LinearDecoder(n_regions=n_regions, latent_dim=3,
+                                input_dim=1, dtype=dtype, **dec_params)
+        return cls(encoder=encoder, ode=ode, decoder=decoder,
+                   latent_dim=latent_dim, n_regions=n_regions,
+                   uncertainty=uncertainty, **kwargs)
+
+    # -- params ------------------------------------------------------------
+
+    def init(self, key) -> "UDEForecasterParams":
+        k_enc, k_ode, k_dec = jax.random.split(key, 3)
+        return UDEForecasterParams(
+            enc=self.encoder.init(k_enc),
+            ode=self.ode.init(k_ode),
+            dec=self.decoder.init(k_dec),
+        )
+
+    # -- forward -----------------------------------------------------------
+
+    def sample_eps(self, key, batch_size: int, n_samples: int,
+                   dtype=jnp.float32):
+        return jax.random.normal(
+            key, (n_samples, batch_size, self.n_regions,
+                  self.encoder.latent_dim), dtype)
+
+    def rhs_fn(self, ode_params, fa_w):
+        """Bind RHS params (+ fa_w for the UDE) into an (t, y) -> (dy, aux)."""
+        if isinstance(self.ode, UDE):
+            return lambda t, y: self.ode.apply(ode_params, t, y, fa_w=fa_w)
+        return lambda t, y: self.ode.apply(ode_params, t, y)
+
+    def apply(self, params: "UDEForecasterParams", x, t, eps, *,
+              fa_w=1.0) -> Tuple[jnp.ndarray, "ForwardExtras"]:
+        """Forward pass.
+
+        Args:
+          params: UDEForecasterParams pytree.
+          x: (B, T_in, features) surveillance window.
+          t: (T,) output time grid (weeks).
+          eps: (S, B, R, Le) standard-normal draws (use :meth:`sample_eps`).
+          fa_w: UDE ramp weight (ignored for Fp/Fa).
+
+        Returns:
+          y_pred: (B, S, T, n_regions) MC forecast ensemble.
+          extras: encoder stats, latent trajectory, stage-ordered RHS aux.
+        """
+        n_samples, batch = eps.shape[0], eps.shape[1]
+        enc_out = self.encoder.apply(params.enc, x)
+        if self.uncertainty:
+            mean, std = enc_out
+            z = reparam(eps, std, mean, uncertainty=True)
+        else:
+            mean = enc_out[0] if isinstance(enc_out, tuple) else enc_out
+            std = None
+            n_samples = 1
+            eps = eps[:1]
+            z = reparam(eps, None, mean, uncertainty=False)
+        z = z + jnp.asarray(self.ic_jitter, z.dtype)
+
+        latent, aux = odeint_grid(
+            self.rhs_fn(params.ode, fa_w), z, t,
+            method=self.method, substeps=self.substeps,
+            checkpoint=self.checkpoint_solver,
+        )
+        y = self.decoder.apply(params.dec, latent)           # (T, S*B, R)
+        T = y.shape[0]
+        y = y.reshape(T, n_samples, batch, self.n_regions)
+        y_pred = jnp.transpose(y, (2, 1, 0, 3))               # (B, S, T, R)
+        return y_pred, ForwardExtras(mean=mean, std=std, latent=latent,
+                                     aux=aux)
+
+
+class UDEForecasterParams(NamedTuple):
+    enc: Any
+    ode: Any
+    dec: LinearDecoderParams
+
+
+class ForwardExtras(NamedTuple):
+    mean: jnp.ndarray
+    std: Optional[jnp.ndarray]
+    latent: jnp.ndarray
+    aux: Any
