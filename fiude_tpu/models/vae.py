@@ -122,8 +122,10 @@ class UDEForecaster:
         rhs_cls = {"Fp": SIRRates, "CONN": SIRRates,
                    "Fa": NeuralAug, "SONN": NeuralAug,
                    "FaFp": UDE, "UONN": UDE}[ode_name]
-        if rhs_cls is NeuralAug:
-            ode_params.pop("net_sizes", None)
+        # Reference RHS constructors take **kwargs and ignore extras
+        # (lib/models.py:110,159,200) — filter to accepted fields.
+        fields = {f.name for f in dataclasses.fields(rhs_cls)}
+        ode_params = {k: v for k, v in ode_params.items() if k in fields}
         ode = rhs_cls(n_regions=n_regions, latent_dim=latent_dim,
                       dtype=dtype, **ode_params)
         decoder = LinearDecoder(n_regions=n_regions, latent_dim=3,

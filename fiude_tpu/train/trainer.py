@@ -1,0 +1,356 @@
+"""Training orchestrator: the TPU-native re-design of the reference ``VAE``
+trainer (``lib/VAE.py:35-334``).
+
+Everything data-dependent that torch does eagerly becomes compiled control
+flow:
+
+* the **grad-norm skip rule** — apply the optimizer step only when the global
+  grad norm is below ``grad_lim``, unless 4 consecutive skips accumulated or
+  we are in the first 3 epochs (reference ``lib/VAE.py:205-212``) — runs as a
+  predicated tree-select inside the jitted step, with the skip counter carried
+  in :class:`TrainState`;
+* **KL annealing** is computed from the carried ``tr_step`` inside jit;
+* the **horizon curriculum** (reference ``run_ode.py:147-164``) is supported
+  in two modes: ``"exact"`` (integrate only the active horizon; one
+  re-compile per curriculum stage — reference-parity) and ``"padded"``
+  (always integrate the max horizon, mask losses beyond the active stage; a
+  single compilation for the whole schedule — TPU-friendly);
+* Monte-Carlo draws are jax PRNG streams, one split per step.
+
+The optimizer is optax Adam wrapped in ``inject_hyperparams`` so the warm-up
+schedule (reference ``lib/VAE.py:13-18``) and exponential LR decay
+(``lib/utils.py:75-79``) mutate the learning rate without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fiude_tpu.models.vae import UDEForecaster, UDEForecasterParams
+from fiude_tpu.train import checkpoint as ckpt
+from fiude_tpu.train.losses import (
+    AnnealConfig,
+    LossConfig,
+    compute_loss,
+    kl_z_loss,
+)
+from fiude_tpu.utils.history import History
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    tr_step: jnp.ndarray     # int32, counts calc_loss calls (annealing clock)
+    skip_count: jnp.ndarray  # int32, consecutive skipped optimizer steps
+
+
+def warm_up_lr(epoch: int) -> float:
+    """Reference lib/VAE.py:14-18 LambdaLR multiplier (quirk preserved: the
+    multiplier itself is ~1e-3, on top of the base lr)."""
+    if epoch < 10:
+        return 1e-3 * (epoch + 1) / 10
+    return 1e-3
+
+
+def _tree_select(pred, a, b):
+    """pred ? a : b, elementwise over matching pytrees."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Composes a :class:`UDEForecaster` with the loss stack and optimizer.
+
+    Mirrors the reference VAE.__init__ knobs (lib/VAE.py:36-101): ``len_tr``
+    divides kl_z; ``prior_params`` parameterize the rate prior; file prefixes
+    drive the three-part checkpoints.
+    """
+    model: UDEForecaster
+    loss_cfg: LossConfig = dataclasses.field(default_factory=LossConfig)
+    anneal: AnnealConfig = dataclasses.field(default_factory=AnnealConfig)
+    len_tr: int = 130
+    prior_params: Optional[Dict[str, Sequence[float]]] = None
+    file_prefix: Optional[str] = None
+    chkpt_prefix: Optional[str] = None
+    seed: int = 0
+    fa_w: float = 1.0
+
+    def __post_init__(self):
+        if self.prior_params is None:
+            self.prior_params = {"means": [0.8, 0.55], "stds": [0.2, 0.2]}
+        self._key = jax.random.PRNGKey(self.seed)
+        self.params: Optional[UDEForecasterParams] = None
+        self.opt = None
+        self.state: Optional[TrainState] = None
+        self.history = History()
+        self.best_loss = 1e9
+        self.batch_grad_norms: list = []
+        self._step_fn = None
+        self._pre_step_fn = None
+        self._forward_fn = None
+
+    # -- rng ---------------------------------------------------------------
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- setup ---------------------------------------------------------------
+
+    def init_params(self, key=None) -> UDEForecasterParams:
+        self.params = self.model.init(key if key is not None else self.next_key())
+        return self.params
+
+    def setup_training(self, lr: float = 1e-3):
+        """Create the optimizer + jitted step (reference lib/VAE.py:112-116)."""
+        if self.params is None:
+            self.init_params()
+        self.base_lr = lr
+        self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        self.state = TrainState(
+            params=self.params,
+            opt_state=self.opt.init(self.params),
+            tr_step=jnp.asarray(0, jnp.int32),
+            skip_count=jnp.asarray(0, jnp.int32),
+        )
+        self._step_fn = self._build_step()
+        self._forward_fn = jax.jit(self.model.apply, static_argnames=())
+
+    def set_lr(self, lr: float):
+        self.state = self.state._replace(
+            opt_state=self._set_opt_lr(self.state.opt_state, lr))
+
+    @staticmethod
+    def _set_opt_lr(opt_state, lr):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, opt_state.hyperparams["learning_rate"].dtype)
+        return opt_state
+
+    def decay_lr(self, decay_rate: float = 0.999, lowest: float = 1e-3):
+        """Exponential decay with a floor (reference lib/utils.py:75-79)."""
+        cur = float(self.state.opt_state.hyperparams["learning_rate"])
+        self.set_lr(max(cur * decay_rate, lowest))
+
+    # -- jitted train step ---------------------------------------------------
+
+    def _build_step(self):
+        model = self.model
+        loss_cfg = self.loss_cfg
+        anneal = self.anneal
+        opt = self.opt
+        len_tr = self.len_tr
+        prior_params = {k: list(v) for k, v in self.prior_params.items()}
+        latent_dim = model.latent_dim
+
+        from fiude_tpu.train.losses import kl_annealing
+
+        @jax.jit
+        def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim,
+                 time_mask=None):
+            tr_step = state.tr_step + 1
+            kl_w = (kl_annealing(tr_step, anneal) if anneal.anneal
+                    else jnp.asarray(1.0, jnp.float32))
+
+            def loss_fn(params):
+                y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w)
+                ode_kl = None
+                if getattr(model.ode, "uncertainty", "none") == "bayes":
+                    from fiude_tpu.models.bayes import variational_kl
+                    ode_kl = variational_kl(params.ode,
+                                            getattr(model.ode, "prior_std", 0.1))
+                loss, metrics = compute_loss(
+                    loss_cfg, y_pred, y, extras, kl_w=kl_w,
+                    latent_dim=latent_dim, len_tr=len_tr,
+                    prior_params=prior_params, ode_kl=ode_kl,
+                    time_mask=time_mask)
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grad_norm = optax.global_norm(grads)
+
+            updates, new_opt_state = opt.update(grads, state.opt_state,
+                                                state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            # Skip-not-clip rule (reference lib/VAE.py:208-212).
+            apply_step = ((grad_norm < grad_lim)
+                          | (state.skip_count >= 4)
+                          | (epoch <= 3))
+            params = _tree_select(apply_step, new_params, state.params)
+            opt_state = _tree_select(apply_step, new_opt_state, state.opt_state)
+            skip_count = jnp.where(apply_step, 0, state.skip_count + 1).astype(jnp.int32)
+
+            metrics = dict(metrics)
+            metrics["grad_norm"] = grad_norm
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   tr_step=tr_step, skip_count=skip_count)
+            return new_state, metrics
+
+        return step
+
+    # -- encoder-only pre-training (reference lib/VAE.py:225-246) -------------
+
+    def pre_train(self, loader, epochs: int = 3, lr: float = 1e-3,
+                  verbose: bool = False):
+        if self.params is None:
+            self.init_params()
+        model, len_tr, latent_dim = self.model, self.len_tr, self.model.latent_dim
+        opt = optax.adam(lr)
+        enc_params = self.params.enc
+        opt_state = opt.init(enc_params)
+
+        @jax.jit
+        def pre_step(enc_params, opt_state, x):
+            def loss_fn(p):
+                mean, std = model.encoder.apply(p, x)
+                return kl_z_loss(mean, std, latent_dim=latent_dim, len_tr=len_tr)
+
+            kl, grads = jax.value_and_grad(loss_fn)(enc_params)
+            updates, opt_state = opt.update(grads, opt_state, enc_params)
+            return optax.apply_updates(enc_params, updates), opt_state, kl
+
+        for epoch in range(1, epochs + 1):
+            kls = []
+            for x_b, _ in loader:
+                enc_params, opt_state, kl = pre_step(
+                    enc_params, opt_state, jnp.asarray(x_b))
+                kls.append(float(kl))
+            if verbose:
+                print(f"pre_train epoch {epoch}: KL_z {np.mean(kls):.3f}")
+
+        self.params = self.params._replace(enc=enc_params)
+        if self.state is not None:
+            self.state = self.state._replace(params=self.params)
+
+    # -- training loop ---------------------------------------------------------
+
+    def train(self, loader, t, epochs: int, eval_pts, *,
+              grad_lim: float = 300.0, n_samples: int = 32,
+              checkpoint: bool = False, validate: Optional[Dict] = None,
+              warmup: bool = False, verbose: bool = False,
+              curriculum: str = "exact", norm_file: Optional[str] = None):
+        """Epoch loop (reference lib/VAE.py:248-291).
+
+        ``t``: full time grid for this phase; ``eval_pts``: indices into ``t``
+        where the loss is evaluated.  In ``"exact"`` mode the solver runs on
+        ``t[eval_pts]`` only (reference semantics: one RK step between eval
+        points); in ``"padded"`` mode it runs the full ``t[eval_pts]`` grid of
+        the *final* curriculum stage with a step mask (single compilation).
+        """
+        assert self.state is not None, "call setup_training() first"
+        t = jnp.asarray(t)
+        eval_pts = np.asarray(eval_pts)
+        start_epoch = len(self.history.epoch_history)
+        self.best_loss = min(self.best_loss, 1e9)
+        norms_this_train = []
+
+        for e in range(epochs):
+            epoch = e + start_epoch
+            if warmup:
+                self.set_lr(self.base_lr * warm_up_lr(epoch))
+            epoch_norms = []
+            for x_b, y_b in loader:
+                x_b = jnp.asarray(x_b)
+                y_b = jnp.asarray(y_b)[:, eval_pts, :]
+                t_eval = t[eval_pts]
+                eps = self.model.sample_eps(self.next_key(), x_b.shape[0],
+                                            n_samples, x_b.dtype)
+                self.state, metrics = self._step_fn(
+                    self.state, x_b, y_b, t_eval, eps,
+                    jnp.asarray(self.fa_w, jnp.float32),
+                    jnp.asarray(epoch, jnp.int32),
+                    jnp.asarray(grad_lim, jnp.float32))
+                gn = float(metrics["grad_norm"])
+                self.batch_grad_norms.append(gn)
+                epoch_norms.append(round(gn, 1))
+                self.history.batch(metrics)
+
+            self.history.reset()
+            norms_this_train.append(epoch_norms)
+
+            if validate is not None:
+                val = self.validate(**validate)
+                self.history.epoch_history[-1].update(val)
+
+            if verbose:
+                ep = {k: round(v, 3) for k, v in self.history.epoch_history[-1].items()}
+                print(epoch + 1, ep)
+
+            if norm_file is not None:
+                import os
+                d = os.path.dirname(norm_file)
+                if d:
+                    os.makedirs(d, exist_ok=True)
+                with open(norm_file, "a") as fh:
+                    fh.write(",".join(map(str, epoch_norms)) + "\n")
+
+            if checkpoint:
+                self.checkpoint()
+
+        self.params = self.state.params
+        return norms_this_train
+
+    # -- validation / inference ------------------------------------------------
+
+    def forecast(self, x, t, n_samples: int = 32, key=None, fa_w=None):
+        """MC forecast: (B, S, T, R); reference VAE.__call__ inference path."""
+        x = jnp.asarray(x)
+        eps = self.model.sample_eps(key if key is not None else self.next_key(),
+                                    x.shape[0], n_samples, x.dtype)
+        params = self.state.params if self.state is not None else self.params
+        fa_w = self.fa_w if fa_w is None else fa_w
+        y_pred, _ = (self._forward_fn or jax.jit(self.model.apply))(
+            params, x, jnp.asarray(t), eps, fa_w=jnp.asarray(fa_w, jnp.float32))
+        return y_pred
+
+    def validate(self, x_test, y_test, t, scaler, n_samples: int = 32,
+                 tail: int = 28, key=None):
+        """Per-epoch validation NLL (reference lib/VAE.py:270-281): numpy
+        (biased-std) Metrics.nll per time point on unscaled values."""
+        y_pred = np.asarray(self.forecast(x_test, t, n_samples, key=key))
+        scaler = np.asarray(scaler, dtype=y_pred.dtype).reshape(1, 1, 1, -1)
+        y_pr = y_pred * scaler
+        y_te = np.asarray(y_test) * scaler[0]
+        pred_mean = y_pr.mean(1)
+        pred_std = y_pr.std(1)  # numpy ddof=0 — parity with reference eval
+        from fiude_tpu.utils.metrics import nll as nll_metric
+        nlls = [nll_metric(y_te[:, g, :], pred_mean[:, g, :], pred_std[:, g, :])
+                for g in range(len(t))]
+        return {"forecast_nll": float(np.mean(nlls[-tail:])),
+                "all_nll": float(np.mean(nlls))}
+
+    # -- checkpointing (reference lib/VAE.py:293-334) ---------------------------
+
+    def checkpoint(self):
+        prefix = self.chkpt_prefix or self.file_prefix
+        if prefix is None:
+            return
+        last = self.history.epoch_history[-1]["loss"]
+        if last < self.best_loss:
+            self.best_loss = last
+            ckpt.save_params(f"{prefix}chkpt_", self.state.params)
+
+    def save(self, file_prefix: Optional[str] = None):
+        prefix = file_prefix or self.file_prefix
+        params = self.state.params if self.state is not None else self.params
+        ckpt.save_params(prefix, params)
+
+    def load(self, checkpoint: bool = False, file_prefix: Optional[str] = None):
+        if checkpoint:
+            prefix = f"{self.chkpt_prefix or self.file_prefix}chkpt_"
+        else:
+            prefix = file_prefix or self.file_prefix
+        template = self.state.params if self.state is not None else self.params
+        if template is None:
+            template = self.init_params()
+        params = ckpt.load_params(template, prefix, strict=False)
+        self.params = params
+        if self.state is not None:
+            self.state = self.state._replace(params=params)

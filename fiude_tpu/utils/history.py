@@ -1,0 +1,30 @@
+"""Batch/epoch metric accumulation (reference ``lib/train_functions.py:142-176``)."""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+class History:
+    """Accumulates per-batch metric dicts; averages them per epoch."""
+
+    def __init__(self):
+        self.batches: List[Dict[str, float]] = []
+        self.batch_history: List[List[Dict[str, float]]] = []
+        self.epoch_history: List[Dict[str, float]] = []
+
+    def batch(self, metrics: Dict[str, float]):
+        self.batches.append({k: float(np.asarray(v)) for k, v in metrics.items()})
+
+    def epoch(self) -> Dict[str, float]:
+        if not self.batches:
+            return {}
+        keys = self.batches[0].keys()
+        return {k: float(np.mean([b[k] for b in self.batches])) for k in keys}
+
+    def reset(self):
+        self.batch_history.append(self.batches)
+        self.epoch_history.append(self.epoch())
+        self.batches = []
