@@ -1,0 +1,6 @@
+from fiude_tpu.parallel.mesh import (
+    make_mesh, data_mesh, sample_data_mesh, config_mesh, named,
+)
+from fiude_tpu.parallel.train_step import (
+    make_sharded_train_step, make_sharded_forecast,
+)
