@@ -8,4 +8,13 @@ from fiude_tpu.models.encoders import (
 )
 from fiude_tpu.models.decoder import LinearDecoder
 from fiude_tpu.models.rhs import SIRRates, NeuralAug, UDE, empirical_rate_posterior
+from fiude_tpu.models.bayes import (
+    BayesSIRRates,
+    BayesNeuralAug,
+    BayesUDE,
+    DenseVariationalParams,
+    dense_variational,
+    init_dense_variational,
+    variational_kl,
+)
 from fiude_tpu.models.vae import UDEForecaster, UDEForecasterParams, reparam, make_prior

@@ -109,19 +109,21 @@ class UDEForecaster:
         for k in ("q_sizes", "ff_sizes"):
             if k in enc_params:
                 enc_params[k] = tuple(enc_params[k])
-        ode_params.pop("prior_std", None)  # only used by the Bayes variants
         for k in ("net_sizes", "aug_net_sizes"):
             if k in ode_params:
                 ode_params[k] = tuple(ode_params[k])
-        ode_params.pop("nhidden_fa", None)
 
         ld_enc = latent_dim - 1
         encoder = BackGRUEncoder(n_regions=n_regions, n_qs=n_qs,
                                  latent_dim=ld_enc, uncertainty=uncertainty,
                                  dtype=dtype, **enc_params)
+        from fiude_tpu.models.bayes import BayesNeuralAug, BayesSIRRates, BayesUDE
         rhs_cls = {"Fp": SIRRates, "CONN": SIRRates,
                    "Fa": NeuralAug, "SONN": NeuralAug,
-                   "FaFp": UDE, "UONN": UDE}[ode_name]
+                   "FaFp": UDE, "UONN": UDE,
+                   "Bayes_Fp": BayesSIRRates, "CONNb": BayesSIRRates,
+                   "Bayes_Fa": BayesNeuralAug, "SONNb": BayesNeuralAug,
+                   "Bayes_FaFp": BayesUDE, "UONNb": BayesUDE}[ode_name]
         # Reference RHS constructors take **kwargs and ignore extras
         # (lib/models.py:110,159,200) — filter to accepted fields.
         fields = {f.name for f in dataclasses.fields(rhs_cls)}
@@ -152,14 +154,24 @@ class UDEForecaster:
             key, (n_samples, batch_size, self.n_regions,
                   self.encoder.latent_dim), dtype)
 
+    @property
+    def is_bayes(self) -> bool:
+        return getattr(self.ode, "uncertainty", "none") == "bayes"
+
     def rhs_fn(self, ode_params, fa_w):
-        """Bind RHS params (+ fa_w for the UDE) into an (t, y) -> (dy, aux)."""
+        """Bind RHS params (+ fa_w for the UDE) into an (t, y[, key]) ->
+        (dy, aux); Bayes variants take a per-evaluation PRNG key."""
+        from fiude_tpu.models.bayes import BayesUDE
         if isinstance(self.ode, UDE):
             return lambda t, y: self.ode.apply(ode_params, t, y, fa_w=fa_w)
+        if isinstance(self.ode, BayesUDE):
+            return lambda t, y, k: self.ode.apply(ode_params, t, y, k, fa_w=fa_w)
+        if self.is_bayes:
+            return lambda t, y, k: self.ode.apply(ode_params, t, y, k)
         return lambda t, y: self.ode.apply(ode_params, t, y)
 
     def apply(self, params: "UDEForecasterParams", x, t, eps, *,
-              fa_w=1.0) -> Tuple[jnp.ndarray, "ForwardExtras"]:
+              fa_w=1.0, rng=None) -> Tuple[jnp.ndarray, "ForwardExtras"]:
         """Forward pass.
 
         Args:
@@ -168,6 +180,8 @@ class UDEForecaster:
           t: (T,) output time grid (weeks).
           eps: (S, B, R, Le) standard-normal draws (use :meth:`sample_eps`).
           fa_w: UDE ramp weight (ignored for Fp/Fa).
+          rng: PRNG key for Bayes-variational weight noise (one fresh draw
+            per RHS evaluation); ignored for non-Bayes RHS.
 
         Returns:
           y_pred: (B, S, T, n_regions) MC forecast ensemble.
@@ -186,10 +200,13 @@ class UDEForecaster:
             z = reparam(eps, None, mean, uncertainty=False)
         z = z + jnp.asarray(self.ic_jitter, z.dtype)
 
+        if self.is_bayes and rng is None:
+            rng = jax.random.PRNGKey(0)
         latent, aux = odeint_grid(
             self.rhs_fn(params.ode, fa_w), z, t,
             method=self.method, substeps=self.substeps,
             checkpoint=self.checkpoint_solver,
+            rng=rng if self.is_bayes else None,
         )
         y = self.decoder.apply(params.dec, latent)           # (T, S*B, R)
         T = y.shape[0]

@@ -38,14 +38,28 @@ import jax.numpy as jnp
 RHS = Callable[[jnp.ndarray, jnp.ndarray], Any]
 
 
-def _wrap_rhs(rhs: RHS):
-    """Normalize a right-hand side to always return ``(dy, aux)``."""
+def _wrap_rhs(rhs: RHS, rng=None, stages: int = 1):
+    """Normalize a right-hand side to ``f(ctx, stage, t, y) -> (dy, aux)``.
 
-    def f(t, y):
-        out = rhs(t, y)
-        if isinstance(out, tuple) and len(out) == 2:
-            return out
-        return out, None
+    ``ctx`` is the (traced) step index.  When ``rng`` is given, the rhs is
+    called as ``rhs(t, y, key)`` with a key unique to each (step, stage)
+    evaluation — this reproduces the reference's Bayesian variational layers,
+    which draw fresh weight noise at *every* RHS evaluation
+    (``lib/in_development/models_bayes.py:30-48``, ``make_z`` per forward).
+    """
+    if rng is None:
+        def f(ctx, stage, t, y):
+            out = rhs(t, y)
+            if isinstance(out, tuple) and len(out) == 2:
+                return out
+            return out, None
+    else:
+        def f(ctx, stage, t, y):
+            key = jax.random.fold_in(rng, ctx * stages + stage)
+            out = rhs(t, y, key)
+            if isinstance(out, tuple) and len(out) == 2:
+                return out
+            return out, None
 
     return f
 
@@ -61,34 +75,34 @@ def _stack_stage_aux(*auxs):
 # Fixed-step stage functions
 # ---------------------------------------------------------------------------
 
-def _euler_step(f, t0, dt, y0):
-    k1, a1 = f(t0, y0)
+def _euler_step(f, ctx, t0, dt, y0):
+    k1, a1 = f(ctx, 0, t0, y0)
     return y0 + dt * k1, _stack_stage_aux(a1)
 
 
-def _midpoint_step(f, t0, dt, y0):
-    k1, a1 = f(t0, y0)
-    k2, a2 = f(t0 + dt * 0.5, y0 + dt * 0.5 * k1)
+def _midpoint_step(f, ctx, t0, dt, y0):
+    k1, a1 = f(ctx, 0, t0, y0)
+    k2, a2 = f(ctx, 1, t0 + dt * 0.5, y0 + dt * 0.5 * k1)
     return y0 + dt * k2, _stack_stage_aux(a1, a2)
 
 
-def _rk4_38_step(f, t0, dt, y0):
+def _rk4_38_step(f, ctx, t0, dt, y0):
     """Kutta 3/8 rule — bit-level analogue of torchdiffeq's 'rk4'."""
     one_third = 1.0 / 3.0
     two_thirds = 2.0 / 3.0
-    k1, a1 = f(t0, y0)
-    k2, a2 = f(t0 + dt * one_third, y0 + dt * k1 * one_third)
-    k3, a3 = f(t0 + dt * two_thirds, y0 + dt * (k2 - k1 * one_third))
-    k4, a4 = f(t0 + dt, y0 + dt * (k1 - k2 + k3))
+    k1, a1 = f(ctx, 0, t0, y0)
+    k2, a2 = f(ctx, 1, t0 + dt * one_third, y0 + dt * k1 * one_third)
+    k3, a3 = f(ctx, 2, t0 + dt * two_thirds, y0 + dt * (k2 - k1 * one_third))
+    k4, a4 = f(ctx, 3, t0 + dt, y0 + dt * (k1 - k2 + k3))
     y1 = y0 + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
     return y1, _stack_stage_aux(a1, a2, a3, a4)
 
 
-def _rk4_classic_step(f, t0, dt, y0):
-    k1, a1 = f(t0, y0)
-    k2, a2 = f(t0 + dt * 0.5, y0 + dt * 0.5 * k1)
-    k3, a3 = f(t0 + dt * 0.5, y0 + dt * 0.5 * k2)
-    k4, a4 = f(t0 + dt, y0 + dt * k3)
+def _rk4_classic_step(f, ctx, t0, dt, y0):
+    k1, a1 = f(ctx, 0, t0, y0)
+    k2, a2 = f(ctx, 1, t0 + dt * 0.5, y0 + dt * 0.5 * k1)
+    k3, a3 = f(ctx, 2, t0 + dt * 0.5, y0 + dt * 0.5 * k2)
+    k4, a4 = f(ctx, 3, t0 + dt, y0 + dt * k3)
     y1 = y0 + dt * (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
     return y1, _stack_stage_aux(a1, a2, a3, a4)
 
@@ -114,6 +128,7 @@ def odeint_grid(
     substeps: int = 1,
     unroll: int = 1,
     checkpoint: bool = False,
+    rng=None,
 ) -> Tuple[jnp.ndarray, Any]:
     """Integrate ``dy/dt = rhs(t, y)`` on the grid ``t`` with fixed steps.
 
@@ -141,20 +156,21 @@ def odeint_grid(
     if method not in _FIXED_STEPPERS:
         raise ValueError(f"unknown method {method!r}; options: {sorted(_FIXED_STEPPERS)}")
     step = _FIXED_STEPPERS[method]
-    f = _wrap_rhs(rhs)
+    f = _wrap_rhs(rhs, rng=rng, stages=STAGES[method] * substeps)
     t = jnp.asarray(t)
     if t.ndim != 1:
         raise ValueError("t must be 1-D")
 
-    def interval(y, t0_dt):
-        t0, dt_total = t0_dt
+    def interval(y, xs):
+        step_idx, t0, dt_total = xs
         if substeps == 1:
-            y1, aux = step(f, t0, dt_total, y)
+            y1, aux = step(f, step_idx, t0, dt_total, y)
         else:
             h = dt_total / substeps
 
             def sub(y, i):
-                return step(f, t0 + i.astype(t0.dtype) * h, h, y)
+                return step(f, step_idx * substeps + i,
+                            t0 + i.astype(t0.dtype) * h, h, y)
 
             y1, aux = jax.lax.scan(sub, y, jnp.arange(substeps))
         return y1, (y1, aux)
@@ -163,7 +179,9 @@ def odeint_grid(
         interval = jax.checkpoint(interval)
 
     _, (ys, aux) = jax.lax.scan(
-        interval, y0, (t[:-1], t[1:] - t[:-1]), unroll=unroll
+        interval, y0,
+        (jnp.arange(t.shape[0] - 1), t[:-1], t[1:] - t[:-1]),
+        unroll=unroll,
     )
     ys = jnp.concatenate([y0[None], ys], axis=0)
     return ys, aux
@@ -236,7 +254,8 @@ def odeint_dopri5(
     Returns ``ys`` of shape ``(T,) + y0.shape``. Aux collection is not
     supported on the adaptive path (step count is data-dependent).
     """
-    f = _wrap_rhs(rhs)
+    _f = _wrap_rhs(rhs)
+    f = lambda t, y: _f(0, 0, t, y)
     t = jnp.asarray(t)
     dtype = y0.dtype
 

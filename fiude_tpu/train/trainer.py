@@ -80,10 +80,14 @@ class Trainer:
     chkpt_prefix: Optional[str] = None
     seed: int = 0
     fa_w: float = 1.0
+    ode_kl_w: Optional[float] = None  # reference passes 1/153 (run_ode.py:144)
 
     def __post_init__(self):
         if self.prior_params is None:
             self.prior_params = {"means": [0.8, 0.55], "stds": [0.2, 0.2]}
+        if self.ode_kl_w is not None:
+            self.loss_cfg = dataclasses.replace(self.loss_cfg,
+                                                ode_kl_w=self.ode_kl_w)
         self._key = jax.random.PRNGKey(self.seed)
         self.params: Optional[UDEForecasterParams] = None
         self.opt = None
@@ -152,15 +156,16 @@ class Trainer:
 
         @jax.jit
         def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim,
-                 time_mask=None):
+                 rng=None, time_mask=None):
             tr_step = state.tr_step + 1
             kl_w = (kl_annealing(tr_step, anneal) if anneal.anneal
                     else jnp.asarray(1.0, jnp.float32))
 
             def loss_fn(params):
-                y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w)
+                y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w,
+                                             rng=rng)
                 ode_kl = None
-                if getattr(model.ode, "uncertainty", "none") == "bayes":
+                if model.is_bayes:
                     from fiude_tpu.models.bayes import variational_kl
                     ode_kl = variational_kl(params.ode,
                                             getattr(model.ode, "prior_std", 0.1))
@@ -266,7 +271,8 @@ class Trainer:
                     self.state, x_b, y_b, t_eval, eps,
                     jnp.asarray(self.fa_w, jnp.float32),
                     jnp.asarray(epoch, jnp.int32),
-                    jnp.asarray(grad_lim, jnp.float32))
+                    jnp.asarray(grad_lim, jnp.float32),
+                    rng=self.next_key() if self.model.is_bayes else None)
                 gn = float(metrics["grad_norm"])
                 self.batch_grad_norms.append(gn)
                 epoch_norms.append(round(gn, 1))
