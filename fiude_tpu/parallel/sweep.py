@@ -1,0 +1,218 @@
+"""Population sweeps: device-parallel hyperparameter/replicate training.
+
+The reference runs its sweeps as 24-36 independent single-threaded CPU
+processes coordinating through file-locked ledgers
+(``run_stuff_linux.sh:3-6``, ``run_ode.py:106-119``).  TPU-native, the same
+population trains as ONE compiled program: per-member parameter/optimizer
+trees are stacked along a leading ``member`` axis, the whole training step is
+``vmap``-ed over it, and the member axis is sharded across the ``config``
+mesh axis — every chip trains its own replicate(s) with zero inter-chip
+traffic, and host code sees one step call for the entire population.
+
+Two layers:
+
+* :func:`make_population_train_step` / :class:`PopulationTrainer` — the
+  compiled same-architecture population (different seeds / loss weights /
+  fa_w ramps; the reference's ``nums`` replicate axis and the tuning
+  harness's row-wise workers).
+* :func:`run_work_queue` — host-side crash-resumable queue over heterogeneous
+  configs (different shapes can't share one program), preserving the
+  reference's claim/mark ledger protocol for multi-process/multi-host
+  elasticity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fiude_tpu.models.vae import UDEForecaster
+from fiude_tpu.train.losses import AnnealConfig, LossConfig, compute_loss, kl_annealing
+from fiude_tpu.train.trainer import TrainState, _tree_select
+from fiude_tpu.utils.history import History
+from fiude_tpu.utils.ledger import Ledger
+
+
+def stack_trees(trees: Sequence[Any]):
+    """Stack a list of identically-shaped pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+def unstack_tree(tree, n: int):
+    return [jax.tree.map(lambda x: x[i], tree) for i in range(n)]
+
+
+def make_population_train_step(
+    model: UDEForecaster,
+    loss_cfg: LossConfig,
+    opt,
+    *,
+    anneal: AnnealConfig = AnnealConfig(),
+    len_tr: int = 130,
+    prior_params: Optional[Dict] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """vmapped-over-members training step.
+
+    Signature: ``step(states, x, y, t, eps, fa_w, epoch, grad_lim, rngs) ->
+    (states, metrics)`` where ``states``/``eps``/``fa_w``/``rngs`` carry a
+    leading member axis and ``x``/``y``/``t`` are shared.  With ``mesh`` the
+    member axis is sharded over its ``config`` axis.
+    """
+    prior_params = prior_params or {"means": [0.8, 0.55], "stds": [0.2, 0.2]}
+    latent_dim = model.latent_dim
+
+    def one_member(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim, rng):
+        tr_step = state.tr_step + 1
+        kl_w = kl_annealing(tr_step, anneal)
+
+        def loss_fn(params):
+            y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w, rng=rng)
+            ode_kl = None
+            if model.is_bayes:
+                from fiude_tpu.models.bayes import variational_kl
+                ode_kl = variational_kl(params.ode,
+                                        getattr(model.ode, "prior_std", 0.1))
+            return compute_loss(loss_cfg, y_pred, y, extras, kl_w=kl_w,
+                                latent_dim=latent_dim, len_tr=len_tr,
+                                prior_params=prior_params, ode_kl=ode_kl)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ok = (grad_norm < grad_lim) | (state.skip_count >= 4) | (epoch <= 3)
+        params = _tree_select(ok, new_params, state.params)
+        opt_state = _tree_select(ok, new_opt, state.opt_state)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = grad_norm
+        return (TrainState(params, opt_state, tr_step,
+                           jnp.where(ok, 0, state.skip_count + 1).astype(jnp.int32)),
+                metrics)
+
+    vstep = jax.vmap(one_member,
+                     in_axes=(0, None, None, None, 0, 0, None, None, 0))
+
+    if mesh is None:
+        return jax.jit(vstep)
+
+    member = NamedSharding(mesh, P("config"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        vstep,
+        in_shardings=(member, repl, repl, repl, member, member, repl, repl,
+                      member),
+        out_shardings=(member, member),
+    )
+
+
+class PopulationTrainer:
+    """Train N same-architecture members simultaneously on one slice.
+
+    The TPU-native re-expression of "launch N worker processes over the same
+    data with different seeds" (reference ``run_stuff_linux.sh`` +
+    ``nums`` axis).  Per-member fa_w supports running the CONN->UONN ramp as
+    a population.
+    """
+
+    def __init__(self, model: UDEForecaster, n_members: int,
+                 loss_cfg: LossConfig = LossConfig(),
+                 *, lr: float = 1e-3, len_tr: int = 130,
+                 anneal: AnnealConfig = AnnealConfig(),
+                 prior_params: Optional[Dict] = None,
+                 mesh: Optional[Mesh] = None, seed: int = 0):
+        self.model = model
+        self.n_members = n_members
+        self.opt = optax.adam(lr)
+        self._key = jax.random.PRNGKey(seed)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
+        params = stack_trees([model.init(k) for k in keys])
+        opt_state = jax.vmap(self.opt.init)(params)
+        self.states = TrainState(
+            params=params, opt_state=opt_state,
+            tr_step=jnp.zeros((n_members,), jnp.int32),
+            skip_count=jnp.zeros((n_members,), jnp.int32))
+        self.step_fn = make_population_train_step(
+            model, loss_cfg, self.opt, anneal=anneal, len_tr=len_tr,
+            prior_params=prior_params, mesh=mesh)
+        self.fa_w = jnp.ones((n_members,), jnp.float32)
+        self.history = [History() for _ in range(n_members)]
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def train(self, loader, t, epochs: int, eval_pts, *,
+              n_samples: int = 32, grad_lim: float = 5000.0):
+        t = jnp.asarray(t)
+        eval_pts = np.asarray(eval_pts)
+        start_epoch = len(self.history[0].epoch_history)
+        for e in range(epochs):
+            epoch = e + start_epoch
+            for x_b, y_b in loader:
+                x_b = jnp.asarray(x_b)
+                y_b = jnp.asarray(y_b)[:, eval_pts, :]
+                eps = jax.vmap(
+                    lambda k: self.model.sample_eps(k, x_b.shape[0], n_samples,
+                                                    x_b.dtype)
+                )(jax.random.split(self.next_key(), self.n_members))
+                rngs = jax.random.split(self.next_key(), self.n_members)
+                self.states, metrics = self.step_fn(
+                    self.states, x_b, y_b, t[eval_pts], eps, self.fa_w,
+                    jnp.asarray(epoch, jnp.int32),
+                    jnp.asarray(grad_lim, jnp.float32), rngs)
+                m_host = {k: np.asarray(v) for k, v in metrics.items()}
+                for i in range(self.n_members):
+                    self.history[i].batch({k: v[i] for k, v in m_host.items()})
+            for h in self.history:
+                h.reset()
+
+    def member_params(self, i: int):
+        return jax.tree.map(lambda x: x[i], self.states.params)
+
+    def epoch_losses(self) -> np.ndarray:
+        return np.asarray([h.epoch_history[-1]["loss"] for h in self.history])
+
+
+def run_work_queue(
+    configs: Sequence[Any],
+    worker: Callable[[Any], Dict],
+    *,
+    ledger: Optional[Ledger] = None,
+    key_fn: Callable[[Any], str] = lambda c: c.key,
+    on_result: Optional[Callable[[Any, Dict], None]] = None,
+    reraise: bool = False,
+) -> List[Optional[Dict]]:
+    """Crash-resumable queue over heterogeneous configs.
+
+    Claim -> run -> mark finished/failed, preserving the reference protocol
+    (run_ode.py:106-119,167-170) so multiple hosts/processes can share one
+    ledger file.
+    """
+    results: List[Optional[Dict]] = []
+    for cfg in configs:
+        key = key_fn(cfg)
+        if ledger is not None and not ledger.claim(key):
+            results.append(None)
+            continue
+        try:
+            out = worker(cfg)
+            if on_result is not None:
+                on_result(cfg, out)
+            if ledger is not None:
+                ledger.mark(key, "finished")
+            results.append(out)
+        except Exception:
+            if ledger is not None:
+                ledger.mark(key, "failed")
+            if reraise:
+                raise
+            results.append(None)
+    return results
