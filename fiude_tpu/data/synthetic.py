@@ -76,7 +76,7 @@ def synthetic_daily_ili(
             beta = rng.uniform(0.7, 1.1)
             gam = rng.uniform(0.45, 0.6)
             i0 = rng.uniform(5e-4, 3e-3)
-            onset = int(rng.uniform(30, 90))
+            onset = int(rng.uniform(0.1, 0.35) * season_len)
             curve = _sir_season(rng, season_len, beta, gam, i0)
             seasonal = np.zeros(season_len)
             seasonal[onset:] = curve[: season_len - onset]

@@ -157,7 +157,9 @@ def odeint_grid(
         raise ValueError(f"unknown method {method!r}; options: {sorted(_FIXED_STEPPERS)}")
     step = _FIXED_STEPPERS[method]
     f = _wrap_rhs(rhs, rng=rng, stages=STAGES[method] * substeps)
-    t = jnp.asarray(t)
+    # keep the time grid in the state dtype — a wider t would silently
+    # promote the scan carry and break carry-type invariance
+    t = jnp.asarray(t, dtype=jnp.asarray(y0).dtype)
     if t.ndim != 1:
         raise ValueError("t must be 1-D")
 

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Main sweep driver (reference ``run_ode.py`` re-designed).
+
+Runs the region x epochs x window x gamma x num x season x model grid with
+the growing-horizon curriculum, a crash-resumable ledger and file-locked
+results tables.  Works against a real ``Data/`` tree or ``--synthetic``.
+
+Examples:
+    python scripts/run_sweep.py --synthetic --regions US --nums 1 2 \
+        --seasons 2016 --epochs 24 --windows 7 --gammas 28
+    python scripts/run_sweep.py --data-root Data/ --out results_table_server
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fiude_tpu.train.experiment import run_experiment
+from fiude_tpu.parallel.sweep import run_work_queue
+from fiude_tpu.utils.config import grid
+from fiude_tpu.utils.ledger import Ledger
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--fill-1", action="store_true",
+                    help="no-interpolation mode: weekly-only -1-masked targets")
+    ap.add_argument("--regions", nargs="+", default=["US", "hhs", "state"])
+    ap.add_argument("--models", nargs="+", default=["CONN", "UONN"])
+    ap.add_argument("--seasons", nargs="+", type=int,
+                    default=[2015, 2016, 2017, 2018])
+    ap.add_argument("--epochs", nargs="+", type=int, default=[140, 200, 260])
+    ap.add_argument("--windows", nargs="+", type=int,
+                    default=[1, 8, 15, 22, 29])
+    ap.add_argument("--gammas", nargs="+", type=int, default=[35, 42, 49, 56])
+    ap.add_argument("--nums", nargs="+", type=int, default=[15, 16, 17, 18, 19])
+    ap.add_argument("--out", default="results_table_server")
+    ap.add_argument("--work-dir", default=".")
+    ap.add_argument("--ledger", default="started.txt")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    configs = grid(region=args.regions, epochs=args.epochs,
+                   window_size=args.windows, gamma=args.gammas,
+                   latent_dim=[8], num=args.nums, test_season=args.seasons,
+                   ode_name=args.models)
+    ledger = Ledger(os.path.join(args.work_dir, args.ledger))
+
+    def worker(cfg):
+        print(cfg.region, cfg.ode_name, cfg.test_season, cfg.epochs, cfg.num,
+              flush=True)
+        out = run_experiment(
+            cfg, data_root=args.data_root, synthetic=args.synthetic,
+            fill_1=args.fill_1, weights_root=args.work_dir,
+            results_file=os.path.join(args.work_dir, args.out),
+            validate_each_epoch=True, verbose=args.verbose)
+        return out["metrics"]
+
+    results = run_work_queue(configs, worker, ledger=ledger)
+    done = sum(1 for r in results if r is not None)
+    print(f"processed {done}/{len(configs)} configs")
+
+
+if __name__ == "__main__":
+    main()
