@@ -92,6 +92,7 @@ class UDEForecaster:
     @classmethod
     def build(cls, *, n_regions: int, latent_dim: int, n_qs: int,
               ode_name: str = "FaFp",
+              encoder_name: str = "back_gru",
               enc_params: Optional[Dict[str, Any]] = None,
               ode_params: Optional[Dict[str, Any]] = None,
               dec_params: Optional[Dict[str, Any]] = None,
@@ -114,9 +115,28 @@ class UDEForecaster:
                 ode_params[k] = tuple(ode_params[k])
 
         ld_enc = latent_dim - 1
-        encoder = BackGRUEncoder(n_regions=n_regions, n_qs=n_qs,
-                                 latent_dim=ld_enc, uncertainty=uncertainty,
-                                 dtype=dtype, **enc_params)
+        if encoder_name in ("back_gru", "Encoder_Back_GRU"):
+            encoder = BackGRUEncoder(n_regions=n_regions, n_qs=n_qs,
+                                     latent_dim=ld_enc,
+                                     uncertainty=uncertainty,
+                                     dtype=dtype, **enc_params)
+        elif encoder_name in ("bigru", "miso_gru", "Encoder_BiDirectionalGRU",
+                              "Encoder_MISO_GRU"):
+            from fiude_tpu.models.encoders import BiGRUEncoder
+            encoder = BiGRUEncoder(n_regions=n_regions, n_qs=n_qs,
+                                   latent_dim=ld_enc, uncertainty=uncertainty,
+                                   dtype=dtype, **enc_params)
+        elif encoder_name in ("bilstm", "Encoder_BiDirectionalLSTM"):
+            from fiude_tpu.models.encoders import BiLSTMEncoder
+            enc_params.setdefault("input_size", n_regions * (n_qs + 1))
+            enc_params.setdefault("hidden_size", 64)
+            enc_params.pop("q_sizes", None)
+            enc_params.pop("ff_sizes", None)
+            encoder = BiLSTMEncoder(n_regions=n_regions, latent_dim=ld_enc,
+                                    uncertainty=uncertainty, dtype=dtype,
+                                    **enc_params)
+        else:
+            raise ValueError(f"unknown encoder {encoder_name!r}")
         from fiude_tpu.models.bayes import BayesNeuralAug, BayesSIRRates, BayesUDE
         rhs_cls = {"Fp": SIRRates, "CONN": SIRRates,
                    "Fa": NeuralAug, "SONN": NeuralAug,

@@ -97,24 +97,40 @@ def kl_annealing(step, cfg: AnnealConfig):
     return jnp.where(s >= half, cfg.upper, ramp)
 
 
-def nll_loss(y_pred, y, mean: bool = True):
+def nll_loss(y_pred, y, mean: bool = True, eval_mask=None):
     """MC-ensemble Gaussian NLL with -1 masking.
 
     y_pred: (B, S, T, R); y: (B, T, R).  Unbiased std over the sample axis
     (torch default); masked entries contribute 0 but remain in the mean's
     denominator — both quirks preserved (lib/train_functions.py:81-90).
+
+    ``eval_mask``: optional (T,) 0/1 — padded-curriculum columns beyond the
+    active horizon are excluded from numerator AND denominator, reproducing
+    the exact-mode mean over ``y[:, eval_pts]``.
     """
     y_std = jnp.std(y_pred, axis=1, ddof=1)
     y_mean = jnp.mean(y_pred, axis=1)
     nll = -normal_logpdf(y, y_mean, y_std)
     mask = (y != -1.0).astype(nll.dtype)
     nll = nll * mask
-    return jnp.mean(nll) if mean else nll
+    if not mean:
+        return nll
+    if eval_mask is None:
+        return jnp.mean(nll)
+    w = eval_mask.astype(nll.dtype).reshape(1, -1, 1)
+    denom = y.shape[0] * y.shape[2] * jnp.sum(eval_mask.astype(nll.dtype))
+    return jnp.sum(nll * w) / denom
 
 
-def mse_loss(y_pred, y):
+def mse_loss(y_pred, y, eval_mask=None):
     """Mean squared error vs every ensemble member (lib/VAE.py:155)."""
-    return jnp.mean(jnp.square(y_pred - y[:, None]))
+    se = jnp.square(y_pred - y[:, None])
+    if eval_mask is None:
+        return jnp.mean(se)
+    w = eval_mask.astype(se.dtype).reshape(1, 1, -1, 1)
+    denom = (se.shape[0] * se.shape[1] * se.shape[3]
+             * jnp.sum(eval_mask.astype(se.dtype)))
+    return jnp.sum(se * w) / denom
 
 
 def kl_z_loss(mean, std, *, latent_dim: int, len_tr: int, z_prior=(0.1, 0.01)):
@@ -178,13 +194,15 @@ def compute_loss(
     prior_params: Optional[Dict[str, Any]] = None,
     ode_kl=None,
     time_mask=None,
+    eval_mask=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Assemble the gated loss; returns (scalar loss, metrics dict).
 
     ``time_mask``: optional (T-1,) step weights for the padded-curriculum
     path — masks solver aux (kl_p / fa_norm) and the latent trajectory
-    (reg_loss) beyond the active horizon; ``None`` reproduces the reference's
-    exact-horizon behavior.
+    (reg_loss) beyond the active horizon; ``eval_mask``: optional (T,) 0/1
+    masking nll/mse output columns the same way.  Both ``None`` reproduces
+    the reference's exact-horizon behavior.
     """
     prior_params = prior_params or {"means": [0.8, 0.55], "stds": [0.2, 0.2]}
     zero = jnp.asarray(0.0, y_pred.dtype)
@@ -200,11 +218,11 @@ def compute_loss(
             [jnp.ones((1,), time_mask.dtype), time_mask])
 
     if loss_cfg.mse:
-        mse = mse_loss(y_pred, y_true)
+        mse = mse_loss(y_pred, y_true, eval_mask=eval_mask)
         loss = loss + mse
         metrics["mse"] = mse
     if loss_cfg.nll:
-        nll = nll_loss(y_pred, y_true)
+        nll = nll_loss(y_pred, y_true, eval_mask=eval_mask)
         loss = loss + nll
         metrics["nll"] = nll
     if loss_cfg.kl_z:

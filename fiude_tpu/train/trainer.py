@@ -156,7 +156,7 @@ class Trainer:
 
         @jax.jit
         def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim,
-                 rng=None, time_mask=None):
+                 rng=None, time_mask=None, eval_mask=None):
             tr_step = state.tr_step + 1
             kl_w = (kl_annealing(tr_step, anneal) if anneal.anneal
                     else jnp.asarray(1.0, jnp.float32))
@@ -173,7 +173,7 @@ class Trainer:
                     loss_cfg, y_pred, y, extras, kl_w=kl_w,
                     latent_dim=latent_dim, len_tr=len_tr,
                     prior_params=prior_params, ode_kl=ode_kl,
-                    time_mask=time_mask)
+                    time_mask=time_mask, eval_mask=eval_mask)
                 return loss, metrics
 
             (loss, metrics), grads = jax.value_and_grad(
@@ -302,6 +302,72 @@ class Trainer:
 
         self.params = self.state.params
         return norms_this_train
+
+    def train_curriculum_padded(self, loader, t, eval_all, epochs_per_stage,
+                                *, grad_lim: float = 5000.0,
+                                n_samples: int = 32, checkpoint: bool = False,
+                                validate: Optional[Dict] = None,
+                                verbose: bool = False,
+                                norm_file: Optional[str] = None):
+        """TPU-friendly growing-horizon curriculum: ONE compiled step for the
+        whole schedule.
+
+        Instead of re-tracing for every stage's grid (reference
+        ``run_ode.py:147-164`` grows ``t``/``eval_pts`` per stage), the solver
+        always integrates the final weekly grid ``t[eval_all]`` and the losses
+        mask out steps/outputs beyond the active stage — gradients through the
+        masked tail are exactly zero, so training dynamics match the exact
+        mode while avoiding the per-stage recompilation storm.
+        """
+        assert self.state is not None, "call setup_training() first"
+        t = jnp.asarray(t)
+        eval_all = np.asarray(eval_all)
+        K = len(eval_all)
+        t_eval = t[eval_all]
+
+        for stage in range(2, K + 1):
+            eval_mask = jnp.asarray(
+                (np.arange(K) < stage).astype(np.float32))
+            time_mask = jnp.asarray(
+                (np.arange(K - 1) < stage - 1).astype(np.float32))
+            for e in range(epochs_per_stage):
+                epoch = len(self.history.epoch_history)
+                epoch_norms = []
+                for x_b, y_b in loader:
+                    x_b = jnp.asarray(x_b)
+                    y_b = jnp.asarray(y_b)[:, eval_all, :]
+                    eps = self.model.sample_eps(self.next_key(),
+                                                x_b.shape[0], n_samples,
+                                                x_b.dtype)
+                    self.state, metrics = self._step_fn(
+                        self.state, x_b, y_b, t_eval, eps,
+                        jnp.asarray(self.fa_w, jnp.float32),
+                        jnp.asarray(epoch, jnp.int32),
+                        jnp.asarray(grad_lim, jnp.float32),
+                        rng=self.next_key() if self.model.is_bayes else None,
+                        time_mask=time_mask, eval_mask=eval_mask)
+                    gn = float(metrics["grad_norm"])
+                    self.batch_grad_norms.append(gn)
+                    epoch_norms.append(round(gn, 1))
+                    self.history.batch(metrics)
+                self.history.reset()
+                if validate is not None:
+                    self.history.epoch_history[-1].update(
+                        self.validate(**validate))
+                if verbose:
+                    ep = {k: round(v, 3)
+                          for k, v in self.history.epoch_history[-1].items()}
+                    print(epoch + 1, "stage", stage, ep)
+                if norm_file is not None:
+                    import os
+                    d = os.path.dirname(norm_file)
+                    if d:
+                        os.makedirs(d, exist_ok=True)
+                    with open(norm_file, "a") as fh:
+                        fh.write(",".join(map(str, epoch_norms)) + "\n")
+                if checkpoint:
+                    self.checkpoint()
+        self.params = self.state.params
 
     # -- validation / inference ------------------------------------------------
 
