@@ -75,15 +75,27 @@ def _stack_stage_aux(*auxs):
 # Fixed-step stage functions
 # ---------------------------------------------------------------------------
 
+def _lc(y0, dt, ks, coeffs):
+    """Tree-aware linear combination ``y0 + dt * sum(c * k)`` — the state may
+    be any pytree (e.g. the augmented adjoint system)."""
+    def leaf(y, *kls):
+        acc = coeffs[0] * kls[0]
+        for c, kl in zip(coeffs[1:], kls[1:]):
+            acc = acc + c * kl
+        return y + dt * acc
+
+    return jax.tree.map(leaf, y0, *ks)
+
+
 def _euler_step(f, ctx, t0, dt, y0):
     k1, a1 = f(ctx, 0, t0, y0)
-    return y0 + dt * k1, _stack_stage_aux(a1)
+    return _lc(y0, dt, [k1], [1.0]), _stack_stage_aux(a1)
 
 
 def _midpoint_step(f, ctx, t0, dt, y0):
     k1, a1 = f(ctx, 0, t0, y0)
-    k2, a2 = f(ctx, 1, t0 + dt * 0.5, y0 + dt * 0.5 * k1)
-    return y0 + dt * k2, _stack_stage_aux(a1, a2)
+    k2, a2 = f(ctx, 1, t0 + dt * 0.5, _lc(y0, dt, [k1], [0.5]))
+    return _lc(y0, dt, [k2], [1.0]), _stack_stage_aux(a1, a2)
 
 
 def _rk4_38_step(f, ctx, t0, dt, y0):
@@ -91,19 +103,24 @@ def _rk4_38_step(f, ctx, t0, dt, y0):
     one_third = 1.0 / 3.0
     two_thirds = 2.0 / 3.0
     k1, a1 = f(ctx, 0, t0, y0)
-    k2, a2 = f(ctx, 1, t0 + dt * one_third, y0 + dt * k1 * one_third)
-    k3, a3 = f(ctx, 2, t0 + dt * two_thirds, y0 + dt * (k2 - k1 * one_third))
-    k4, a4 = f(ctx, 3, t0 + dt, y0 + dt * (k1 - k2 + k3))
-    y1 = y0 + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
+    k2, a2 = f(ctx, 1, t0 + dt * one_third, _lc(y0, dt, [k1], [one_third]))
+    k3, a3 = f(ctx, 2, t0 + dt * two_thirds,
+               _lc(y0, dt, [k2, k1], [1.0, -one_third]))
+    k4, a4 = f(ctx, 3, t0 + dt, _lc(y0, dt, [k1, k2, k3], [1.0, -1.0, 1.0]))
+    # exact torchdiffeq association: y + dt*(k1 + 3*(k2+k3) + k4)/8
+    y1 = jax.tree.map(
+        lambda y, l1, l2, l3, l4: y + dt * (l1 + 3.0 * (l2 + l3) + l4) * 0.125,
+        y0, k1, k2, k3, k4)
     return y1, _stack_stage_aux(a1, a2, a3, a4)
 
 
 def _rk4_classic_step(f, ctx, t0, dt, y0):
     k1, a1 = f(ctx, 0, t0, y0)
-    k2, a2 = f(ctx, 1, t0 + dt * 0.5, y0 + dt * 0.5 * k1)
-    k3, a3 = f(ctx, 2, t0 + dt * 0.5, y0 + dt * 0.5 * k2)
-    k4, a4 = f(ctx, 3, t0 + dt, y0 + dt * k3)
-    y1 = y0 + dt * (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+    k2, a2 = f(ctx, 1, t0 + dt * 0.5, _lc(y0, dt, [k1], [0.5]))
+    k3, a3 = f(ctx, 2, t0 + dt * 0.5, _lc(y0, dt, [k2], [0.5]))
+    k4, a4 = f(ctx, 3, t0 + dt, _lc(y0, dt, [k3], [1.0]))
+    y1 = _lc(y0, dt, [k1, k2, k3, k4],
+             [1.0 / 6.0, 2.0 / 6.0, 2.0 / 6.0, 1.0 / 6.0])
     return y1, _stack_stage_aux(a1, a2, a3, a4)
 
 
@@ -159,7 +176,8 @@ def odeint_grid(
     f = _wrap_rhs(rhs, rng=rng, stages=STAGES[method] * substeps)
     # keep the time grid in the state dtype — a wider t would silently
     # promote the scan carry and break carry-type invariance
-    t = jnp.asarray(t, dtype=jnp.asarray(y0).dtype)
+    state_dtype = jax.tree.leaves(y0)[0].dtype
+    t = jnp.asarray(t, dtype=state_dtype)
     if t.ndim != 1:
         raise ValueError("t must be 1-D")
 
@@ -185,7 +203,8 @@ def odeint_grid(
         (jnp.arange(t.shape[0] - 1), t[:-1], t[1:] - t[:-1]),
         unroll=unroll,
     )
-    ys = jnp.concatenate([y0[None], ys], axis=0)
+    ys = jax.tree.map(lambda first, rest: jnp.concatenate([first[None], rest],
+                                                          axis=0), y0, ys)
     return ys, aux
 
 

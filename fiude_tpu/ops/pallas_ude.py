@@ -112,71 +112,89 @@ def _elu(x):
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
-def _mlp(z, weights, start: int, n_layers: int):
-    """Reference MLP ordering (L0, (ELU, Li)*, L_out) on VMEM-resident
-    weights; refs are (w, b) pairs flattened in ``weights``."""
-    h = jnp.dot(z, weights[start][:], preferred_element_type=jnp.float32) \
-        + weights[start + 1][:]
-    for li in range(1, n_layers - 1):
-        h = jnp.dot(_elu(h), weights[start + 2 * li][:],
-                    preferred_element_type=jnp.float32) \
-            + weights[start + 2 * li + 1][:]
-    return jnp.dot(h, weights[start + 2 * (n_layers - 1)][:],
-                   preferred_element_type=jnp.float32) \
-        + weights[start + 2 * (n_layers - 1) + 1][:]
-
-
 def _make_kernel(T: int, dt: float, R: int, L: int,
                  n_fp_layers: int, n_aug_layers: int, fa_w: float,
-                 tile_b: int):
+                 tile_b: int, compute_dtype=jnp.float32):
     has_aug = n_aug_layers > 0
-    D = L * R
+    has_tail = L > 3
+    cd = compute_dtype
 
-    def rhs(z, weights):
-        rates = jnp.abs(_mlp(z, weights, 0, n_fp_layers))   # (tb, 2R) [b|g]
+    def dot(a, w):
+        return jnp.dot(a.astype(cd), w[:].astype(cd),
+                       preferred_element_type=jnp.float32)
+
+    def mlp_tail(h, weights, start, n_layers):
+        """Layers 1..out of the reference MLP ordering, given h = L0 out."""
+        for li in range(1, n_layers - 1):
+            h = dot(_elu(h), weights[start + 2 * li]) \
+                + weights[start + 2 * li + 1][:]
+        return dot(h, weights[start + 2 * (n_layers - 1)]) \
+            + weights[start + 2 * (n_layers - 1) + 1][:]
+
+    def rhs(zh, c_tail, weights, w0_head, n0_fp):
+        """Derivative of the ACTIVE state head (S|I|R blocks, width 3R).
+
+        The latent tail (dims >= 3) has zero derivative (lib/models.py:144),
+        so its first-layer contribution ``c_tail = z_tail @ W0_tail + b0`` is
+        constant along the trajectory and precomputed — the per-eval L0
+        matmul contracts only 3R features, and all RK/mask arithmetic runs on
+        the 3R-wide head.  Both nets' first layers share one fused pass.
+        """
+        h0 = dot(zh, w0_head) + c_tail
+        rates = jnp.abs(mlp_tail(h0[:, :n0_fp], weights, 0, n_fp_layers))
         beta, gam = rates[:, :R], rates[:, R:]
-        S, I = z[:, :R], z[:, R: 2 * R]
+        S, I = zh[:, :R], zh[:, R: 2 * R]
         plus_i = beta * S * I
         minus_i = gam * I
         field = jnp.concatenate(
             [-plus_i, plus_i - minus_i, minus_i], axis=-1)   # (tb, 3R)
         if has_aug:
-            fa = _mlp(z, weights, 2 * n_fp_layers, n_aug_layers)
+            fa = mlp_tail(h0[:, n0_fp:], weights, 2 * n_fp_layers,
+                          n_aug_layers)
             field = field + fa_w * fa
-        dz = jnp.concatenate(
-            [field, jnp.zeros((z.shape[0], D - 3 * R), z.dtype)], axis=-1)
-        out_of_range = (z > 2.0) | (z < -1.0)
-        return jnp.where(out_of_range, 0.0, dz)
+        out_of_range = (zh > 2.0) | (zh < -1.0)
+        return jnp.where(out_of_range, 0.0, field)
 
     def kernel(*refs):
-        z_ref = refs[0]
-        weights = refs[1:-5]
+        z_ref, ztail_ref = refs[0], refs[1]
+        weights = refs[2:-8]
+        w0_head, w0_tail, b0_cat = refs[-8], refs[-7], refs[-6]
         dec_w, dec_b, out_hbm = refs[-5], refs[-4], refs[-3]
         scratch, sem = refs[-2], refs[-1]
+        n0_fp = weights[0].shape[1]
         tile0 = pl.program_id(0) * tile_b
 
-        def decode_and_ship(ti, z):
+        # constant first-layer contribution of the frozen latent tail (+bias)
+        if has_tail:
+            c_tail = dot(ztail_ref[:], w0_tail) + b0_cat[:]
+        else:
+            c_tail = b0_cat[:]
+
+        def decode_and_ship(ti, zh):
             """Decode in VMEM, stream one (tile_b, R_out) step to HBM."""
-            scratch[:] = jnp.dot(z[:, : 3 * R], dec_w[:],
+            scratch[:] = jnp.dot(zh, dec_w[:],
                                  preferred_element_type=jnp.float32) + dec_b[:]
             dma = pltpu.make_async_copy(
                 scratch, out_hbm.at[ti, pl.ds(tile0, tile_b), :], sem)
             dma.start()
             dma.wait()
 
-        z = z_ref[:]
-        decode_and_ship(0, z)
+        def f(zh):
+            return rhs(zh, c_tail, weights, w0_head, n0_fp)
 
-        def step(i, z):
-            k1 = rhs(z, weights)
-            k2 = rhs(z + dt * k1 * (1.0 / 3.0), weights)
-            k3 = rhs(z + dt * (k2 - k1 * (1.0 / 3.0)), weights)
-            k4 = rhs(z + dt * (k1 - k2 + k3), weights)
-            z = z + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
-            decode_and_ship(i + 1, z)
-            return z
+        zh = z_ref[:]
+        decode_and_ship(0, zh)
 
-        jax.lax.fori_loop(0, T - 1, step, z)
+        def step(i, zh):
+            k1 = f(zh)
+            k2 = f(zh + dt * k1 * (1.0 / 3.0))
+            k3 = f(zh + dt * (k2 - k1 * (1.0 / 3.0)))
+            k4 = f(zh + dt * (k1 - k2 + k3))
+            zh = zh + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
+            decode_and_ship(i + 1, zh)
+            return zh
+
+        jax.lax.fori_loop(0, T - 1, step, zh)
 
     return kernel
 
@@ -184,7 +202,7 @@ def _make_kernel(T: int, dt: float, R: int, L: int,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "dt", "R", "L", "n_fp_layers", "n_aug_layers",
-                     "fa_w", "tile_b", "interpret"))
+                     "fa_w", "tile_b", "interpret", "compute_dtype"))
 def fused_trajectory_decode(
     z0_cm: jnp.ndarray,
     weights: Tuple[jnp.ndarray, ...],
@@ -198,17 +216,42 @@ def fused_trajectory_decode(
     n_fp_layers: int,
     n_aug_layers: int,
     fa_w: float = 1.0,
-    tile_b: int = 256,
+    tile_b: int = 1024,
     interpret: bool = False,
+    compute_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Run the full RK4(3/8) trajectory + decode in one Pallas kernel.
 
     z0_cm: (B, L*R) compartment-major initial states; returns (T, B, R_out).
+    ``compute_dtype='bfloat16'`` runs the MXU matmuls in bf16 with f32
+    accumulation (serving-precision mode, ~2x MXU throughput).
     """
     B, D = z0_cm.shape
     R_out = dec_w.shape[1]
     tile_b = min(tile_b, B)
     assert B % tile_b == 0, f"batch {B} not divisible by tile {tile_b}"
+
+    # First layers of both MLPs consume the same input — run them as one
+    # full-width matmul over column-concatenated weights.
+    if n_aug_layers > 0:
+        w0_cat = jnp.concatenate([weights[0], weights[2 * n_fp_layers]],
+                                 axis=1)
+        b0_cat = jnp.concatenate([weights[1], weights[2 * n_fp_layers + 1]],
+                                 axis=1)
+    else:
+        w0_cat, b0_cat = weights[0], weights[1]
+
+    # Split the state into the integrated head (S|I|R, width 3R) and the
+    # frozen tail; the tail's first-layer contribution is constant along the
+    # trajectory, so the kernel applies it exactly once.
+    z_head = z0_cm[:, : 3 * R]
+    if D > 3 * R:
+        z_tail = z0_cm[:, 3 * R:]
+        w0_tail = w0_cat[3 * R:]
+    else:
+        z_tail = jnp.zeros((B, 1), z0_cm.dtype)
+        w0_tail = jnp.zeros((1, w0_cat.shape[1]), w0_cat.dtype)
+    w0_head = w0_cat[: 3 * R]
 
     # Lane-align the decoded output: per-step DMA slices must be multiples of
     # the 128-lane tiling, so the kernel writes (T, B, R_pad) and the caller
@@ -219,13 +262,20 @@ def fused_trajectory_decode(
         dec_b = jnp.pad(dec_b, ((0, 0), (0, R_pad - R_out)))
 
     kernel = _make_kernel(T, dt, R, L, n_fp_layers, n_aug_layers, fa_w,
-                          tile_b)
+                          tile_b, compute_dtype=jnp.dtype(compute_dtype))
 
     full = lambda *_: (0, 0)
-    in_specs = [pl.BlockSpec((tile_b, D), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
+    in_specs = [
+        pl.BlockSpec((tile_b, 3 * R), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, z_tail.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     for wgt in weights:
         in_specs.append(pl.BlockSpec(wgt.shape, full, memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(w0_head.shape, full, memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(w0_tail.shape, full, memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(b0_cat.shape, full, memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec(dec_w.shape, full, memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec(dec_b.shape, full, memory_space=pltpu.VMEM))
 
@@ -255,7 +305,7 @@ def fused_trajectory_decode(
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(z0_cm, *weights, dec_w, dec_b)
+    )(z_head, z_tail, *weights, w0_head, w0_tail, b0_cat, dec_w, dec_b)
     return y[..., :R_out]
 
 
@@ -273,7 +323,8 @@ class FusedForecaster:
     """
 
     def __init__(self, model, params, *, fa_w: float = 1.0,
-                 tile_b: int = 256, interpret: Optional[bool] = None):
+                 tile_b: int = 1024, interpret: Optional[bool] = None,
+                 compute_dtype: str = "float32"):
         from fiude_tpu.models.rhs import SIRRates, UDE
         if not isinstance(model.ode, (SIRRates, UDE)):
             raise TypeError("fused path supports SIRRates/UDE RHS only")
@@ -281,6 +332,7 @@ class FusedForecaster:
         self.params = params
         self.fa_w = float(fa_w)
         self.tile_b = tile_b
+        self.compute_dtype = compute_dtype
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
@@ -310,7 +362,8 @@ class FusedForecaster:
             z_cm, self.weights, self.dec_w, self.dec_b,
             T=len(t), dt=dt, R=model.n_regions, L=model.latent_dim,
             n_fp_layers=self.n_fp_layers, n_aug_layers=self.n_aug_layers,
-            fa_w=self.fa_w, tile_b=tile, interpret=self.interpret)
+            fa_w=self.fa_w, tile_b=tile, interpret=self.interpret,
+            compute_dtype=self.compute_dtype)
         T = y.shape[0]
         y = y.reshape(T, n_samples, batch, model.n_regions)
         return jnp.transpose(y, (2, 1, 0, 3))

@@ -72,10 +72,13 @@ def run_experiment(cfg: ExperimentConfig, *,
                    n_samples: Optional[int] = None,
                    validate_each_epoch: bool = False,
                    curriculum: bool = True,
+                   pre_train_epochs: int = 0,
                    verbose: bool = False,
                    seed: int = 0) -> Dict[str, Any]:
     """Train one config with the weekly growing-horizon curriculum and record
-    results (reference run_ode.py:120-170)."""
+    results (reference run_ode.py:120-170).  ``pre_train_epochs`` enables the
+    encoder-only KL warm-start used by the testing.py driver
+    (reference testing.py:135)."""
     n_samples = n_samples or cfg.n_samples
     x_tr, y_tr, x_te, y_te, scaler = _build_data(cfg, data_root, synthetic,
                                                  fill_1, seed)
@@ -84,6 +87,9 @@ def run_experiment(cfg: ExperimentConfig, *,
     t = jnp.arange(cfg.window_size + cfg.gamma + 1, dtype=jnp.float32) / 7.0
     trainer = build_trainer(cfg, weights_root=weights_root, seed=seed)
     trainer.setup_training(lr=cfg.lr)
+    if pre_train_epochs:
+        trainer.pre_train(loader, epochs=pre_train_epochs, lr=cfg.lr)
+        trainer.state = trainer.state._replace(params=trainer.params)
 
     validate = None
     if validate_each_epoch:

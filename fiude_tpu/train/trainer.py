@@ -141,6 +141,18 @@ class Trainer:
         cur = float(self.state.opt_state.hyperparams["learning_rate"])
         self.set_lr(max(cur * decay_rate, lowest))
 
+    def update_priors(self, new_std: float = 0.1):
+        """Change the variational-weight prior std on a Bayes RHS
+        (reference lib/VAE.py:103-110). Config change -> the jitted step
+        retraces once with the new constant."""
+        if not self.model.is_bayes:
+            return
+        self.model = dataclasses.replace(
+            self.model, ode=dataclasses.replace(self.model.ode,
+                                                prior_std=new_std))
+        if self.opt is not None:
+            self._step_fn = self._build_step()
+
     # -- jitted train step ---------------------------------------------------
 
     def _build_step(self):
