@@ -1,15 +1,21 @@
-"""Benchmark: vmapped region x ensemble UDE solves/sec on real TPU.
+"""Benchmark: region x ensemble UDE solves/sec on real TPU.
 
 Workload = the reference's hottest loop at its largest committed scale
-(reference run_ode.py:35-37,130 + lib/VAE.py:120,137): a full MC-ensemble
-forward — encoder -> simplex reparam -> fixed-step RK4 (3/8 rule) over an
-85-step daily grid -> decode — for the 49-region state config with
-n_samples x batch = 64 x 32 = 2048 coupled systems of dim 49 x 8.
+(reference run_ode.py:35-37,130 + lib/VAE.py:120,137): full MC-ensemble
+forecasts — encoder -> simplex reparam -> 85-step RK4(3/8) -> decode — for
+the 49-region state config with n_samples x batch = 64 x 32 = 2048 coupled
+systems of dim 49 x 8 = 392.
+
+The serving path runs the whole trajectory+decode as ONE fused Pallas kernel
+(fiude_tpu/ops/pallas_ude.py).  Eight independent MC rounds run inside one
+jit (lax.scan over fresh eps draws) so the measurement amortizes the axon
+tunnel's ~30 ms per-dispatch overhead the way a real serving/training loop
+does; the final scalar is fetched to host (the only reliable sync on this
+platform).
 
 Metric: region x ensemble UDE trajectory solves per second
-(= n_samples * batch * n_regions / forward latency).
-Baseline: the north-star target of 1000 solves/sec (BASELINE.json) —
-the CPU reference solves ~2048*49 systems in ~minutes per epoch.
+(= rounds * n_samples * batch * n_regions / elapsed).
+Baseline: the north-star target of 1000 solves/sec (BASELINE.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,10 +35,15 @@ def main():
     import jax.numpy as jnp
 
     from fiude_tpu.models import UDEForecaster
+    from fiude_tpu.models.vae import reparam
+    from fiude_tpu.ops.pallas_ude import (
+        FusedForecaster, fused_trajectory_decode, to_cm,
+    )
 
     n_regions, latent_dim, n_qs = 49, 8, 8
     batch, n_samples = 32, 64
     window, lag, gamma = 28, 14, 56
+    rounds = 8
 
     model = UDEForecaster.build(
         n_regions=n_regions, latent_dim=latent_dim, n_qs=n_qs,
@@ -42,40 +53,56 @@ def main():
         ode_params={"net_sizes": (64, 64, 32), "aug_net_sizes": (64, 64)},
     )
     params = model.init(jax.random.PRNGKey(0))
+    fused = FusedForecaster(model, params, fa_w=1.0, tile_b=1024)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(
         0, 1, (batch, window + lag, n_regions * (n_qs + 1))).astype(np.float32))
     # test-time daily grid: window + gamma + 1 points (run_ode.py:130)
-    t = jnp.arange(window + gamma + 1, dtype=jnp.float32) / 7.0
-    eps = jnp.asarray(rng.standard_normal(
-        (n_samples, batch, n_regions, latent_dim - 1)).astype(np.float32))
+    T = window + gamma + 1
+    t = np.arange(T, dtype=np.float32) / 7.0
+    dt = float(t[1] - t[0])
+    keys = jax.random.split(jax.random.PRNGKey(1), rounds)
+
+    enc_apply = model.encoder.apply
+    weights, dec_w, dec_b = fused.weights, fused.dec_w, fused.dec_b
+    n_fp, n_aug = fused.n_fp_layers, fused.n_aug_layers
 
     @jax.jit
-    def forward(params, x, t, eps):
-        y_pred, _ = model.apply(params, x, t, eps, fa_w=1.0)
-        # reduce to a scalar so the host fetch forces full execution without
-        # shipping the (B,S,T,R) ensemble over the wire
-        return jnp.sum(y_pred)
+    def serve(params, x, keys):
+        mean, std = enc_apply(params.enc, x)
 
-    # compile + warmup (block_until_ready is unreliable on the axon tunnel —
-    # a host fetch of the scalar is the only trustworthy sync point)
-    float(forward(params, x, t, eps))
+        def round_fn(acc, key):
+            eps = jax.random.normal(
+                key, (n_samples, batch, n_regions, latent_dim - 1),
+                jnp.float32)
+            z = reparam(eps, std, mean) + 1e-5
+            y = fused_trajectory_decode(
+                to_cm(z), weights, dec_w, dec_b, T=T, dt=dt,
+                R=n_regions, L=latent_dim, n_fp_layers=n_fp,
+                n_aug_layers=n_aug, fa_w=1.0, tile_b=1024)
+            return acc + jnp.sum(y), None
 
-    reps = 20
+        acc, _ = jax.lax.scan(round_fn, jnp.asarray(0.0, jnp.float32), keys)
+        return acc
+
+    # compile + warmup (host fetch is the sync point)
+    float(serve(params, x, keys))
+
+    reps = 5
     start = time.perf_counter()
-    outs = [forward(params, x, t, eps) for _ in range(reps)]
+    outs = [serve(params, x, keys) for _ in range(reps)]
     _ = [float(o) for o in outs]
     elapsed = time.perf_counter() - start
 
-    solves = reps * n_samples * batch * n_regions
+    solves = reps * rounds * n_samples * batch * n_regions
     solves_per_sec = solves / elapsed
 
     baseline = 1000.0  # north-star target (BASELINE.json): >=1000 on v5e-8
     print(json.dumps({
         "metric": "ude_region_ensemble_solves_per_sec",
         "value": round(solves_per_sec, 1),
-        "unit": "solves/s (49-region x 2048-ensemble, 85-step RK4 forward)",
+        "unit": "solves/s (49-region x 2048-ensemble, 85-step RK4, fused kernel)",
         "vs_baseline": round(solves_per_sec / baseline, 3),
     }))
 

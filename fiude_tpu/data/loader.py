@@ -41,6 +41,20 @@ class ArrayLoader:
             yield self.x[sel], self.y[sel]
 
 
+def return_folds(n: int, n_folds: int = 5, seed: int = 0):
+    """K-fold index splits (reference lib/Old/Data_Constructor.py:14-23):
+    returns a list of (train_idx, val_idx) pairs."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(n)
+    folds = np.array_split(idx, n_folds)
+    out = []
+    for k in range(n_folds):
+        val = folds[k]
+        train = np.concatenate([folds[j] for j in range(n_folds) if j != k])
+        out.append((train, val))
+    return out
+
+
 def convert_to_arrays(x_train, y_train, x_test, y_test, batch_size: int = 32,
                       shuffle: bool = True, seed: int = 0, dtype=np.float32):
     """Counterpart of the reference's ``convert_to_torch``

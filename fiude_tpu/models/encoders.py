@@ -114,9 +114,9 @@ class BackGRUEncoder:
         """x: (B, T, n_regions*(n_qs+1)) -> (mean, std) each (B, R, L)."""
         scaler = sir_scaler_vector(self.sir_scaler, self.latent_dim, x.dtype)
         x = jnp.flip(x, axis=1)  # reference lib/models.py:89
-        for g in params.grus:
-            x, _ = gru(g, x)
-        h = x[:, -1, :]
+        # fused multi-layer scan; only the final hidden is needed
+        from fiude_tpu.ops.gru import gru_stack_last
+        h = gru_stack_last(params.grus, x)
         h = relu_mlp(params.ff, h)
         return _split_mean_std(h, self.n_regions, self.latent_dim, scaler,
                                self.uncertainty)

@@ -111,6 +111,35 @@ def gru(
     return outs.transpose(1, 0, 2), h_t
 
 
+def gru_stack_last(params_list, x: jnp.ndarray, *, unroll: int = 1):
+    """Stacked GRU sweep returning the LAST layer's FINAL hidden state.
+
+    All layers advance inside one `lax.scan` step (layer l at time t needs
+    only layer l-1 at t and layer l at t-1), halving scan dispatch count vs
+    running layer-by-layer; only layer 0's input projection is hoisted to a
+    bulk MXU matmul.  The Back-GRU encoder reads exactly this value
+    (reference lib/models.py:91-94: last timestep of the last layer), so no
+    per-step outputs are materialized at all.
+    """
+    batch, seq, _ = x.shape
+    p0 = params_list[0]
+    h0s = tuple(jnp.zeros((batch, p.w_hh.shape[0]), x.dtype)
+                for p in params_list)
+
+    x_proj = x.reshape(batch * seq, -1) @ p0.w_ih + p0.b_ih
+    x_proj = x_proj.reshape(batch, seq, -1).transpose(1, 0, 2)
+
+    def step(hs, xp0):
+        new_hs = [gru_cell(p0, hs[0], xp0)]
+        for l, p in enumerate(params_list[1:], start=1):
+            xp = new_hs[-1] @ p.w_ih + p.b_ih
+            new_hs.append(gru_cell(p, hs[l], xp))
+        return tuple(new_hs), None
+
+    hs, _ = jax.lax.scan(step, h0s, x_proj, unroll=unroll)
+    return hs[-1]
+
+
 def bigru(fwd: GRUParams, bwd: GRUParams, x, unroll: int = 1):
     """Bidirectional GRU: concat of forward and backward outputs (B, T, 2H)."""
     out_f, h_f = gru(fwd, x, unroll=unroll)

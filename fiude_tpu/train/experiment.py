@@ -193,6 +193,39 @@ def adaptive_curriculum_train(trainer: Trainer, loader, *, gamma: int,
     return tmax
 
 
+def rerun_best(scores_csv: str,
+               evaluate: Callable[[Dict[str, Any], int], Dict[str, Any]],
+               *, run_best: int = 10, run_each: int = 5,
+               out_dir: str = "best_runs",
+               score_col: str = "score") -> str:
+    """Best-config re-testing (reference lib/Old/test_odes.py:268-358):
+    sort the validation-score table, re-run each of the top ``run_best``
+    configs ``run_each`` times, dumping per-run JSON results (ground truth /
+    predictive mean / std or whatever ``evaluate`` returns) plus a summary
+    ``test_scores.csv``."""
+    import json
+
+    import pandas as pd
+
+    df = pd.read_csv(scores_csv, index_col=0)
+    ranked = df.sort_values(score_col).head(run_best)
+    os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for rank, (idx, row) in enumerate(ranked.iterrows()):
+        for rep in range(run_each):
+            result = evaluate(dict(row), rep)
+            path = os.path.join(out_dir, f"rank{rank}_rep{rep}.json")
+            with open(path, "w") as fh:
+                json.dump({k: (v.tolist() if hasattr(v, "tolist") else v)
+                           for k, v in result.items()}, fh)
+            rows.append({"rank": rank, "config_index": int(idx), "rep": rep,
+                         **{k: v for k, v in result.items()
+                            if np.isscalar(v)}})
+    out_csv = os.path.join(out_dir, "test_scores.csv")
+    pd.DataFrame(rows).to_csv(out_csv)
+    return out_csv
+
+
 def run_tuning_worker(csv_path: str,
                       evaluate: Callable[[Dict[str, Any]], float],
                       max_rows: int = 256,

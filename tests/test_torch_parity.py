@@ -158,3 +158,22 @@ class TestStatsParity:
         np.testing.assert_allclose(
             np.asarray(std(jnp.asarray(x), axis=0)),
             _np(torch.tensor(x).std(0)), rtol=1e-5)
+
+
+class TestStackedGRUFusion:
+    def test_gru_stack_last_matches_layerwise(self):
+        """Fused multi-layer scan == sequential per-layer GRU sweeps."""
+        from fiude_tpu.ops.gru import gru, gru_stack_last, init_gru
+        key = jax.random.PRNGKey(0)
+        p0 = init_gru(jax.random.fold_in(key, 0), 10, 16)
+        p1 = init_gru(jax.random.fold_in(key, 1), 16, 12)
+        x = jnp.asarray(RNG.standard_normal((4, 9, 10)).astype(np.float32))
+
+        h_fused = gru_stack_last((p0, p1), x)
+        out0, _ = gru(p0, x)
+        out1, h_seq = gru(p1, out0)
+        np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_seq),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(h_fused),
+                                   np.asarray(out1[:, -1, :]),
+                                   rtol=1e-6, atol=1e-7)
