@@ -170,8 +170,10 @@ def synthetic_dataset(
     qs = synthetic_queries(ili, n_qs, seed)
     scaler = ili.max(axis=0) * 13.0
     ili_norm = ili / np.maximum(ili.max(axis=0, keepdims=True), 1e-9)
-    x, y = build_windows(qs, ili_norm, window_size=window_size, gamma=gamma,
-                         lag=lag, run_backward=run_backward)
+    from fiude_tpu.data.native import build_windows_fast
+    x, y = build_windows_fast(qs, ili_norm, window_size=window_size,
+                              gamma=gamma, lag=lag,
+                              run_backward=run_backward)
     split = int(len(x) * train_frac)
     return (x[:split], y[:split], x[split:], y[split:],
             scaler.astype(np.float32))
