@@ -28,7 +28,9 @@ RNG = np.random.default_rng(42)
 
 
 def _np(t):
-    return t.detach().numpy()
+    # copy: torch optimizers mutate storage in place, and jnp.asarray on CPU
+    # may alias the numpy view zero-copy
+    return t.detach().numpy().copy()
 
 
 def _dense_from_torch(lin):
