@@ -1,1 +1,5 @@
 from fiude_tpu.data.loader import ArrayLoader, convert_to_arrays
+from fiude_tpu.data.builder import DataConstructor
+from fiude_tpu.data.loader import return_folds
+from fiude_tpu.data.native import build_windows_fast
+from fiude_tpu.data.synthetic import synthetic_dataset, write_reference_data_tree

@@ -87,6 +87,7 @@ class UDEForecaster:
     method: str = "rk4"
     substeps: int = 1
     checkpoint_solver: bool = False
+    solver_unroll: int = 1  # scan unroll factor (TPU pipelining knob)
     ic_jitter: float = 1e-5
 
     @classmethod
@@ -225,7 +226,7 @@ class UDEForecaster:
         latent, aux = odeint_grid(
             self.rhs_fn(params.ode, fa_w), z, t,
             method=self.method, substeps=self.substeps,
-            checkpoint=self.checkpoint_solver,
+            checkpoint=self.checkpoint_solver, unroll=self.solver_unroll,
             rng=rng if self.is_bayes else None,
         )
         y = self.decoder.apply(params.dec, latent)           # (T, S*B, R)

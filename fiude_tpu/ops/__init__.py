@@ -12,3 +12,5 @@ from fiude_tpu.ops.stats import (
     masked_mean,
     masked_mean_std,
 )
+from fiude_tpu.ops.adjoint import odeint_adjoint
+from fiude_tpu.ops.pallas_ude import FusedForecaster, fused_trajectory_decode

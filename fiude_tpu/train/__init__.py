@@ -13,3 +13,10 @@ from fiude_tpu.train.losses import (
 )
 from fiude_tpu.train.trainer import Trainer, TrainState, warm_up_lr
 from fiude_tpu.train.checkpoint import save_params, load_params, tree_to_flat_dict
+from fiude_tpu.train.experiment import (
+    adaptive_curriculum_train,
+    rerun_best,
+    run_experiment,
+    run_transfer,
+    run_tuning_worker,
+)

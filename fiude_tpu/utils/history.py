@@ -28,3 +28,21 @@ class History:
         self.batch_history.append(self.batches)
         self.epoch_history.append(self.epoch())
         self.batches = []
+
+    def save(self, path: str):
+        """Persist epoch history as JSON (for plot_results.py history)."""
+        import json
+        import os
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(self.epoch_history, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "History":
+        import json
+        h = cls()
+        with open(path) as fh:
+            h.epoch_history = json.load(fh)
+        return h

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""End-to-end accuracy demonstration on synthetic surveillance data.
+
+Trains CONN (mechanistic SIR + neural rates) and UONN (universal ODE) with
+the reference training recipe (growing-horizon curriculum, MC-ensemble NLL,
+KL terms) on SIR-driven synthetic data, then evaluates horizon NLL/skill
+through the same metric pipeline the reference used for results_table.csv.
+
+Writes RESULTS_SYNTH.md + demo_results.csv in --out-dir.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="demo_out")
+    ap.add_argument("--epochs", type=int, default=56)
+    ap.add_argument("--models", nargs="+", default=["CONN", "UONN"])
+    args = ap.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    from fiude_tpu.train.experiment import run_experiment
+    from fiude_tpu.utils.config import ExperimentConfig, REGION_INFO
+
+    REGION_INFO["demo"] = {
+        "n_regions": 1, "latent_dim": 8, "n_qs": 20,
+        "ode_params": {"net_sizes": (64, 64, 32), "aug_net_sizes": (64, 64)},
+        "dec_params": {},
+        "enc_params": {"q_sizes": (128, 64), "ff_sizes": (64,),
+                       "SIR_scaler": [0.1, 0.05, 1.0]},
+        "epochs": args.epochs,
+    }
+
+    rows = []
+    for ode_name in args.models:
+        cfg = ExperimentConfig(region="demo", ode_name=ode_name,
+                               test_season=2016, epochs=args.epochs,
+                               window_size=28, gamma=28, num=1,
+                               n_samples=64)
+        start = time.time()
+        out = run_experiment(
+            cfg, synthetic=True, weights_root=args.out_dir,
+            results_file=os.path.join(args.out_dir, "demo_results"),
+            validate_each_epoch=False, verbose=True)
+        mins = (time.time() - start) / 60
+        hist = out["history"]
+        rows.append({
+            "model": ode_name,
+            "first_epoch_nll": hist[0]["nll"],
+            "final_epoch_nll": hist[-1]["nll"],
+            "final_loss": hist[-1]["loss"],
+            "minutes": round(mins, 1),
+            **{k: round(float(v), 4) for k, v in out["metrics"].items()},
+        })
+        print(ode_name, rows[-1], flush=True)
+
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as fh:
+        json.dump(rows, fh, indent=2)
+
+    lines = ["# Synthetic-data accuracy demonstration",
+             "",
+             "Reference training recipe (growing-horizon curriculum, 64-sample",
+             "MC ensemble, NLL+KL loss stack) on SIR-driven synthetic national",
+             "data; metrics via the reference results-table pipeline.",
+             ""]
+    for r in rows:
+        lines.append(f"## {r['model']}")
+        lines.append("")
+        lines.append(f"- train NLL: {r['first_epoch_nll']:.3f} (epoch 1) -> "
+                     f"{r['final_epoch_nll']:.3f} (epoch {len_hist(r)})")
+        for k, v in r.items():
+            if k.startswith("2016") or k.startswith("skill"):
+                lines.append(f"- {k}: {v}")
+        lines.append(f"- wall clock: {r['minutes']} min")
+        lines.append("")
+    with open(os.path.join(args.out_dir, "RESULTS_SYNTH.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote", os.path.join(args.out_dir, "RESULTS_SYNTH.md"))
+
+
+def len_hist(r):
+    return "end"
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,28 @@ def plot_fan_chart(weights_prefix: str, out: str, *, region="US",
     print("wrote", out)
 
 
+def plot_history(history_json: str, out: str):
+    """Loss-curve plot (reference run_ode.ipynb cell 9)."""
+    import json
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(history_json) as fh:
+        hist = json.load(fh)
+    keys = [k for k in hist[0] if k not in ("kl_w",)]
+    fig, ax = plt.subplots(figsize=(9, 5))
+    for k in keys:
+        ax.plot([h.get(k) for h in hist], label=k, lw=1.0)
+    ax.set_xlabel("epoch")
+    ax.set_yscale("symlog")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out)
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -84,10 +106,15 @@ def main():
     p2 = sub.add_parser("fan")
     p2.add_argument("--weights-prefix", required=True)
     p2.add_argument("--out", default="fan_chart.png")
+    p3 = sub.add_parser("history")
+    p3.add_argument("--json", required=True)
+    p3.add_argument("--out", default="history.png")
     args = ap.parse_args()
 
     if args.cmd == "norms":
         plot_norms(args.glob, args.grad_lim, args.out)
+    elif args.cmd == "history":
+        plot_history(args.json, args.out)
     else:
         plot_fan_chart(args.weights_prefix, args.out)
 
