@@ -223,12 +223,20 @@ class UDEForecaster:
 
         if self.is_bayes and rng is None:
             rng = jax.random.PRNGKey(0)
-        latent, aux = odeint_grid(
-            self.rhs_fn(params.ode, fa_w), z, t,
-            method=self.method, substeps=self.substeps,
-            checkpoint=self.checkpoint_solver, unroll=self.solver_unroll,
-            rng=rng if self.is_bayes else None,
-        )
+        if self.method == "dopri5":
+            # adaptive path: no stage-ordered aux (step count is data-
+            # dependent) — use with loss configs that don't need kl_p/fa_norm
+            from fiude_tpu.ops.integrate import odeint_dopri5
+            rhs = self.rhs_fn(params.ode, fa_w)
+            latent = odeint_dopri5(lambda s, y: rhs(s, y)[0], z, t)
+            aux = None
+        else:
+            latent, aux = odeint_grid(
+                self.rhs_fn(params.ode, fa_w), z, t,
+                method=self.method, substeps=self.substeps,
+                checkpoint=self.checkpoint_solver, unroll=self.solver_unroll,
+                rng=rng if self.is_bayes else None,
+            )
         y = self.decoder.apply(params.dec, latent)           # (T, S*B, R)
         T = y.shape[0]
         y = y.reshape(T, n_samples, batch, self.n_regions)

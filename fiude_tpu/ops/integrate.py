@@ -212,8 +212,9 @@ def odeint_grid(
 # Adaptive Dormand-Prince 5(4) with PI step-size control
 # ---------------------------------------------------------------------------
 
-# Butcher tableau (Dormand & Prince 1980).
-_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+# Butcher tableau (Dormand & Prince 1980) — Python floats (weakly typed) so
+# the state's dtype is never promoted.
+_DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
 _DP_A = [
     [],
     [1 / 5],
@@ -223,10 +224,9 @@ _DP_A = [
     [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
     [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
 ]
-_DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
-_DP_B4 = jnp.array(
-    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
-)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
 
 
 def _dopri5_step(f, t0, dt, y0, f0):
@@ -293,18 +293,18 @@ def odeint_dopri5(
 
         def body(state):
             t_cur, y_cur, f_cur, dt_cur, ep, n = state
-            h = jnp.minimum(dt_cur, t1 - t_cur)
+            h = jnp.minimum(dt_cur, (t1 - t_cur).astype(dt_cur.dtype))
             y_new, y_err, f_new = _dopri5_step(f, t_cur, h, y_cur, f_cur)
-            err = err_norm(y_err, y_cur, y_new)
+            err = err_norm(y_err, y_cur, y_new).astype(ep.dtype)
             err = jnp.maximum(err, 1e-10)
             accept = err <= 1.0
             factor = safety * err ** (-pi_alpha) * ep ** (pi_beta)
             factor = jnp.clip(factor, 0.2, 5.0)
-            dt_next = jnp.maximum(h * factor, 1e-8)
-            t_cur = jnp.where(accept, t_cur + h, t_cur)
+            dt_next = jnp.maximum(h * factor, 1e-8).astype(dt_cur.dtype)
+            t_cur = jnp.where(accept, t_cur + h, t_cur).astype(state[0].dtype)
             y_cur = jax.tree.map(lambda a, b: jnp.where(accept, b, a), y_cur, y_new)
             f_cur = jax.tree.map(lambda a, b: jnp.where(accept, b, a), f_cur, f_new)
-            ep = jnp.where(accept, err, ep)
+            ep = jnp.where(accept, err, ep).astype(state[4].dtype)
             return (t_cur, y_cur, f_cur, dt_next, ep, n + 1)
 
         t_end, y, f_y, dt, err_prev, _ = jax.lax.while_loop(

@@ -252,7 +252,8 @@ class Trainer:
               grad_lim: float = 300.0, n_samples: int = 32,
               checkpoint: bool = False, validate: Optional[Dict] = None,
               warmup: bool = False, verbose: bool = False,
-              curriculum: str = "exact", norm_file: Optional[str] = None):
+              curriculum: str = "exact", norm_file: Optional[str] = None,
+              nan_guard: bool = False):
         """Epoch loop (reference lib/VAE.py:248-291).
 
         ``t``: full time grid for this phase; ``eval_pts``: indices into ``t``
@@ -289,6 +290,9 @@ class Trainer:
                 self.batch_grad_norms.append(gn)
                 epoch_norms.append(round(gn, 1))
                 self.history.batch(metrics)
+                if nan_guard and not np.isfinite(float(metrics["loss"])):
+                    # crash containment (reference tune_encoders.py:199-200)
+                    break
 
             self.history.reset()
             norms_this_train.append(epoch_norms)

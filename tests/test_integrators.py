@@ -192,3 +192,29 @@ class TestDispatcher:
         a = odeint(exp_rhs, y0, t, method="rk4", step_size=0.25)
         b, _ = odeint_grid(exp_rhs, y0, t, method="rk4", substeps=4)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestAdaptiveInForecaster:
+    def test_dopri5_forward_in_model(self):
+        """UDEForecaster(method='dopri5'): adaptive serving path, no aux."""
+        from fiude_tpu.models import UDEForecaster
+        import dataclasses as dc
+        model = UDEForecaster.build(
+            n_regions=1, latent_dim=6, n_qs=3, ode_name="Fp",
+            enc_params={"q_sizes": (8,), "ff_sizes": (8,)},
+            ode_params={"net_sizes": (8, 8)})
+        model = dc.replace(model, method="dopri5")
+        params = model.init(jax.jax if False else __import__("jax").random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 10, 4)).astype(np.float32))
+        eps = jnp.asarray(rng.standard_normal((3, 2, 1, 5)).astype(np.float32))
+        t = jnp.arange(4, dtype=jnp.float32)
+        y, extras = model.apply(params, x, t, eps)
+        assert y.shape == (2, 3, 4, 1)
+        assert extras.aux is None
+        assert np.all(np.isfinite(np.asarray(y)))
+        # close to the fixed-step solution on this smooth problem
+        model_rk = dc.replace(model, method="rk4", substeps=8)
+        y_rk, _ = model_rk.apply(params, x, t, eps)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_rk),
+                                   rtol=1e-3, atol=1e-4)
