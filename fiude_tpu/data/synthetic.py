@@ -168,7 +168,10 @@ def synthetic_dataset(
     (lib/regional_data_builder.py:213)."""
     ili = synthetic_daily_ili(n_regions, n_seasons, season_len, seed)
     qs = synthetic_queries(ili, n_qs, seed)
-    scaler = ili.max(axis=0) * 13.0
+    # the reference's scaler = ili.max()*13 un-does its /13 load scaling
+    # (lib/regional_data_builder.py:140,213); synthetic curves are already in
+    # raw wILI units, so the un-scaler is just the max
+    scaler = ili.max(axis=0)
     ili_norm = ili / np.maximum(ili.max(axis=0, keepdims=True), 1e-9)
     from fiude_tpu.data.native import build_windows_fast
     x, y = build_windows_fast(qs, ili_norm, window_size=window_size,

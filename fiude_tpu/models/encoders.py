@@ -88,6 +88,7 @@ class BackGRUEncoder:
     sir_scaler: Tuple[float, ...] = (0.1, 0.05, 1.0)
     uncertainty: bool = True
     dtype: str = "float32"
+    scan_unroll: int = 4  # GRU time-scan unroll (TPU pipelining knob)
 
     @property
     def input_size(self) -> int:
@@ -116,7 +117,7 @@ class BackGRUEncoder:
         x = jnp.flip(x, axis=1)  # reference lib/models.py:89
         # fused multi-layer scan; only the final hidden is needed
         from fiude_tpu.ops.gru import gru_stack_last
-        h = gru_stack_last(params.grus, x)
+        h = gru_stack_last(params.grus, x, unroll=self.scan_unroll)
         h = relu_mlp(params.ff, h)
         return _split_mean_std(h, self.n_regions, self.latent_dim, scaler,
                                self.uncertainty)

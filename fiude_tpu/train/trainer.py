@@ -25,6 +25,7 @@ schedule (reference ``lib/VAE.py:13-18``) and exponential LR decay
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Sequence
 
 import jax
@@ -166,9 +167,15 @@ class Trainer:
 
         from fiude_tpu.train.losses import kl_annealing
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames=("n_samples",))
         def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim,
-                 rng=None, time_mask=None, eval_mask=None):
+                 rng=None, time_mask=None, eval_mask=None, eps_key=None,
+                 n_samples=None):
+            if eps is None:
+                # sample the MC draws inside the compiled step — one dispatch
+                # per batch instead of two
+                eps = model.sample_eps(eps_key, x.shape[0], n_samples,
+                                       x.dtype)
             tr_step = state.tr_step + 1
             kl_w = (kl_annealing(tr_step, anneal) if anneal.anneal
                     else jnp.asarray(1.0, jnp.float32))
@@ -278,14 +285,13 @@ class Trainer:
                 x_b = jnp.asarray(x_b)
                 y_b = jnp.asarray(y_b)[:, eval_pts, :]
                 t_eval = t[eval_pts]
-                eps = self.model.sample_eps(self.next_key(), x_b.shape[0],
-                                            n_samples, x_b.dtype)
                 self.state, metrics = self._step_fn(
-                    self.state, x_b, y_b, t_eval, eps,
+                    self.state, x_b, y_b, t_eval, None,
                     jnp.asarray(self.fa_w, jnp.float32),
                     jnp.asarray(epoch, jnp.int32),
                     jnp.asarray(grad_lim, jnp.float32),
-                    rng=self.next_key() if self.model.is_bayes else None)
+                    rng=self.next_key() if self.model.is_bayes else None,
+                    eps_key=self.next_key(), n_samples=n_samples)
                 gn = float(metrics["grad_norm"])
                 self.batch_grad_norms.append(gn)
                 epoch_norms.append(round(gn, 1))
@@ -352,16 +358,14 @@ class Trainer:
                 for x_b, y_b in loader:
                     x_b = jnp.asarray(x_b)
                     y_b = jnp.asarray(y_b)[:, eval_all, :]
-                    eps = self.model.sample_eps(self.next_key(),
-                                                x_b.shape[0], n_samples,
-                                                x_b.dtype)
                     self.state, metrics = self._step_fn(
-                        self.state, x_b, y_b, t_eval, eps,
+                        self.state, x_b, y_b, t_eval, None,
                         jnp.asarray(self.fa_w, jnp.float32),
                         jnp.asarray(epoch, jnp.int32),
                         jnp.asarray(grad_lim, jnp.float32),
                         rng=self.next_key() if self.model.is_bayes else None,
-                        time_mask=time_mask, eval_mask=eval_mask)
+                        time_mask=time_mask, eval_mask=eval_mask,
+                        eps_key=self.next_key(), n_samples=n_samples)
                     gn = float(metrics["grad_norm"])
                     self.batch_grad_norms.append(gn)
                     epoch_norms.append(round(gn, 1))
