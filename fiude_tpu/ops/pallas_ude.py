@@ -348,6 +348,9 @@ class FusedForecaster:
         from fiude_tpu.models.vae import reparam
         model = self.model
         t = np.asarray(t)
+        dts = np.diff(t)
+        assert np.allclose(dts, dts[0], rtol=1e-5), \
+            "fused path requires a uniform time grid"
         dt = float(t[1] - t[0])
         n_samples, batch = eps.shape[0], eps.shape[1]
 
