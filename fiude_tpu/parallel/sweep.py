@@ -181,6 +181,88 @@ class PopulationTrainer:
         return np.asarray([h.epoch_history[-1]["loss"] for h in self.history])
 
 
+def group_configs_for_population(configs: Sequence[Any]):
+    """Group sweep configs that share shapes/data into population batches.
+
+    Configs differing only in the replicate id ``num`` train as ONE
+    device-parallel population (same dataset, same architecture, different
+    seeds) — the TPU-native form of the reference's `nums` axis.  Returns a
+    list of lists.
+    """
+    groups: Dict[tuple, List[Any]] = {}
+    for cfg in configs:
+        key = tuple(sorted(
+            (k, v) for k, v in dataclasses.asdict(cfg).items() if k != "num"))
+        groups.setdefault(key, []).append(cfg)
+    return list(groups.values())
+
+
+def run_population_experiment(group: Sequence[Any], *,
+                              data_root: Optional[str] = None,
+                              synthetic: bool = False,
+                              weights_root: str = ".",
+                              results_file: Optional[str] = None,
+                              mesh: Optional[Mesh] = None,
+                              seed: int = 0) -> List[Dict]:
+    """Train a same-shape config group as one compiled population and record
+    per-member results (the device-parallel run_ode.py unit).
+
+    Members share the dataset (they differ only by seed/num); the growing-
+    horizon curriculum runs in lock-step across members.
+    """
+    import jax.numpy as jnp
+
+    from fiude_tpu.models import UDEForecaster
+    from fiude_tpu.train.checkpoint import save_params
+    from fiude_tpu.train.experiment import _build_data
+    from fiude_tpu.train.losses import TRAINING_INFO
+    from fiude_tpu.data.loader import ArrayLoader
+    from fiude_tpu.utils.results import evaluate_forecast, upsert_results_row
+
+    cfg0 = group[0]
+    x_tr, y_tr, x_te, y_te, scaler = _build_data(cfg0, data_root, synthetic,
+                                                 seed=seed)
+    loader = ArrayLoader(x_tr, y_tr, batch_size=cfg0.batch_size, seed=seed)
+    model = UDEForecaster.build(**cfg0.model_kwargs())
+    pop = PopulationTrainer(model, n_members=len(group),
+                            loss_cfg=TRAINING_INFO[cfg0.ode_name],
+                            lr=cfg0.lr, mesh=mesh, seed=seed)
+
+    t = jnp.arange(cfg0.window_size + cfg0.gamma + 1, dtype=jnp.float32) / 7.0
+    eval_all = list(np.linspace(0, cfg0.gamma, int(cfg0.gamma / 7) + 1,
+                                dtype=int))
+    epochs_per_cycle = max(int(cfg0.epochs / (len(eval_all) - 1)), 1)
+    for i in range(2, len(eval_all) + 1):
+        eval_pts = eval_all[:i]
+        pop.train(loader, t[: eval_pts[-1] + 1], epochs_per_cycle, eval_pts,
+                  n_samples=cfg0.n_samples, grad_lim=cfg0.grad_lim)
+
+    results = []
+    for m, cfg in enumerate(group):
+        params = pop.member_params(m)
+        save_params(
+            __import__("os").path.join(weights_root, "weights", cfg.key),
+            params)
+        eps = model.sample_eps(jax.random.fold_in(jax.random.PRNGKey(seed), m),
+                               x_te.shape[0], 128, jnp.float32)
+        y_pred, _ = jax.jit(model.apply)(params, jnp.asarray(x_te), t, eps)
+        values = evaluate_forecast(np.asarray(y_pred),
+                                   np.asarray(y_te[:, : len(t)]),
+                                   np.asarray(scaler),
+                                   window_size=cfg.window_size,
+                                   test_season=cfg.test_season)
+        if results_file is not None:
+            upsert_results_row(results_file,
+                               {"epochs": cfg.epochs, "gamma": cfg.gamma,
+                                "ode_name": cfg.ode_name, "region": cfg.region,
+                                "latent_dim": cfg.latent_dim,
+                                "window_size": cfg.window_size,
+                                "num": cfg.num},
+                               values)
+        results.append(values)
+    return results
+
+
 def run_work_queue(
     configs: Sequence[Any],
     worker: Callable[[Any], Dict],

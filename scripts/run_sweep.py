@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--work-dir", default=".")
     ap.add_argument("--ledger", default="started.txt")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--population", action="store_true",
+                    help="train same-shape config groups (the `nums` axis) "
+                         "as device-parallel populations over a config mesh")
     args = ap.parse_args()
 
     configs = grid(region=args.regions, epochs=args.epochs,
@@ -48,6 +51,40 @@ def main():
                    latent_dim=[8], num=args.nums, test_season=args.seasons,
                    ode_name=args.models)
     ledger = Ledger(os.path.join(args.work_dir, args.ledger))
+
+    if args.population:
+        import jax
+        from fiude_tpu.parallel.mesh import config_mesh
+        from fiude_tpu.parallel.sweep import (
+            group_configs_for_population, run_population_experiment,
+        )
+        groups = group_configs_for_population(configs)
+        mesh = None
+        results_file = os.path.join(args.work_dir, args.out)
+
+        def pop_worker(group):
+            g = group
+            m = (config_mesh(len(g))
+                 if len(jax.devices()) >= len(g) > 1 else None)
+            print("population:", [c.key for c in g], flush=True)
+            return run_population_experiment(
+                g, data_root=args.data_root, synthetic=args.synthetic,
+                weights_root=args.work_dir, results_file=results_file,
+                mesh=m)
+
+        done = 0
+        for g in groups:
+            if not ledger.claim(g[0].key + f"_pop{len(g)}"):
+                continue
+            try:
+                pop_worker(g)
+                ledger.mark(g[0].key + f"_pop{len(g)}", "finished")
+                done += len(g)
+            except Exception as e:
+                print("population failed:", e, flush=True)
+                ledger.mark(g[0].key + f"_pop{len(g)}", "failed")
+        print(f"processed {done}/{len(configs)} configs (population mode)")
+        return
 
     def worker(cfg):
         print(cfg.region, cfg.ode_name, cfg.test_season, cfg.epochs, cfg.num,

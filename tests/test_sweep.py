@@ -138,3 +138,44 @@ class TestPopulation:
         back = unstack_tree(stacked, 3)
         same = jax.tree.map(lambda a, b: bool(jnp.all(a == b)), ps[2], back[2])
         assert all(jax.tree.leaves(same))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestPopulationExperiment:
+    def test_grouping(self):
+        cfgs = grid(region=["US"], num=[1, 2, 3], gamma=[28, 35])
+        from fiude_tpu.parallel.sweep import group_configs_for_population
+        groups = group_configs_for_population(cfgs)
+        assert len(groups) == 2
+        assert all(len(g) == 3 for g in groups)
+        assert {c.num for c in groups[0]} == {1, 2, 3}
+
+    def test_population_unit_records_results(self, tmp_path):
+        from fiude_tpu.parallel.sweep import run_population_experiment
+        from fiude_tpu.parallel.mesh import config_mesh
+        from fiude_tpu.utils.config import ExperimentConfig, REGION_INFO
+
+        REGION_INFO["tinypop"] = {
+            "n_regions": 1, "latent_dim": 6, "n_qs": 3,
+            "ode_params": {"net_sizes": (8, 8), "aug_net_sizes": (8, 8)},
+            "dec_params": {},
+            "enc_params": {"q_sizes": (12,), "ff_sizes": (8,)},
+            "epochs": 4,
+        }
+        try:
+            group = [ExperimentConfig(region="tinypop", ode_name="CONN",
+                                      epochs=4, window_size=7, gamma=28,
+                                      latent_dim=6, num=n, batch_size=16,
+                                      n_samples=4)
+                     for n in (1, 2)]
+            results = run_population_experiment(
+                group, synthetic=True, weights_root=str(tmp_path),
+                results_file=str(tmp_path / "restab"), mesh=config_mesh(2))
+            assert len(results) == 2
+            df = pd.read_csv(str(tmp_path / "restab.csv"), index_col=0)
+            assert len(df) == 2
+            assert set(df["num"]) == {1, 2}
+            assert os.path.exists(
+                str(tmp_path / "weights" / group[0].key) + "enc.npz")
+        finally:
+            REGION_INFO.pop("tinypop", None)
