@@ -391,13 +391,21 @@ class Trainer:
 
     # -- validation / inference ------------------------------------------------
 
-    def forecast(self, x, t, n_samples: int = 32, key=None, fa_w=None):
-        """MC forecast: (B, S, T, R); reference VAE.__call__ inference path."""
+    def forecast(self, x, t, n_samples: int = 32, key=None, fa_w=None,
+                 fused: bool = False):
+        """MC forecast: (B, S, T, R); reference VAE.__call__ inference path.
+
+        ``fused=True`` runs the whole trajectory+decode as one Pallas kernel
+        (serving path; SIRRates/UDE only, uniform grid)."""
         x = jnp.asarray(x)
         eps = self.model.sample_eps(key if key is not None else self.next_key(),
                                     x.shape[0], n_samples, x.dtype)
         params = self.state.params if self.state is not None else self.params
         fa_w = self.fa_w if fa_w is None else fa_w
+        if fused:
+            from fiude_tpu.ops.pallas_ude import FusedForecaster
+            return FusedForecaster(self.model, params, fa_w=float(fa_w))(
+                x, t, eps)
         y_pred, _ = (self._forward_fn or jax.jit(self.model.apply))(
             params, x, jnp.asarray(t), eps, fa_w=jnp.asarray(fa_w, jnp.float32))
         return y_pred

@@ -95,3 +95,18 @@ class TestFusedForward:
         fused = FusedForecaster(model, params, tile_b=4)
         np.testing.assert_allclose(np.asarray(fused(x, t, eps)),
                                    np.asarray(y_ref), rtol=2e-4, atol=2e-5)
+
+
+class TestTrainerFusedForecast:
+    def test_fused_matches_scan_forecast(self):
+        from fiude_tpu.train import TRAINING_INFO, Trainer
+        model = make_model("FaFp")
+        trainer = Trainer(model, loss_cfg=TRAINING_INFO["UONN"], seed=0)
+        trainer.init_params()
+        x = jnp.asarray(RNG.uniform(0, 1, (4, 10, 8)).astype(np.float32))
+        t = jnp.arange(5, dtype=jnp.float32) / 7.0
+        key = jax.random.PRNGKey(3)
+        y_scan = trainer.forecast(x, t, n_samples=4, key=key)
+        y_fused = trainer.forecast(x, t, n_samples=4, key=key, fused=True)
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_scan),
+                                   rtol=2e-4, atol=2e-5)
