@@ -69,8 +69,12 @@ def make_population_train_step(
     latent_dim = model.latent_dim
 
     def one_member(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim, rng):
-        tr_step = state.tr_step + 1
-        kl_w = kl_annealing(tr_step, anneal)
+        if loss_cfg.anneal:
+            tr_step = state.tr_step + 1
+            kl_w = kl_annealing(tr_step, anneal)
+        else:
+            tr_step = state.tr_step
+            kl_w = jnp.asarray(1.0, jnp.float32)
 
         def loss_fn(params):
             y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w, rng=rng)

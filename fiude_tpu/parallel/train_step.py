@@ -58,8 +58,12 @@ def make_sharded_train_step(
     eps_shard = NamedSharding(mesh, P(sample_axis, data_axis))
 
     def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim):
-        tr_step = state.tr_step + 1
-        kl_w = kl_annealing(tr_step, anneal)
+        if loss_cfg.anneal:
+            tr_step = state.tr_step + 1
+            kl_w = kl_annealing(tr_step, anneal)
+        else:
+            tr_step = state.tr_step
+            kl_w = jnp.asarray(1.0, jnp.float32)
 
         def loss_fn(params):
             y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w)

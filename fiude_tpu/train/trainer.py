@@ -176,9 +176,15 @@ class Trainer:
                 # per batch instead of two
                 eps = model.sample_eps(eps_key, x.shape[0], n_samples,
                                        x.dtype)
-            tr_step = state.tr_step + 1
-            kl_w = (kl_annealing(tr_step, anneal) if anneal.anneal
-                    else jnp.asarray(1.0, jnp.float32))
+            # reference lib/VAE.py:148-151: the anneal gate controls BOTH the
+            # step counter and the kl weight (frozen at its ctor default 1
+            # when disabled)
+            if loss_cfg.anneal:
+                tr_step = state.tr_step + 1
+                kl_w = kl_annealing(tr_step, anneal)
+            else:
+                tr_step = state.tr_step
+                kl_w = jnp.asarray(1.0, jnp.float32)
 
             def loss_fn(params):
                 y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w,

@@ -133,3 +133,30 @@ class TestGating:
             latent_dim=8, len_tr=130)
         assert "kl_params" not in m_sonn and "reg_loss" not in m_sonn
         assert float(loss_all) != float(loss_sonn)
+
+
+class TestAnnealGateSemantics:
+    def test_anneal_false_freezes_clock_and_weight(self):
+        """Reference lib/VAE.py:148-151: with the anneal gate off, tr_step
+        does not advance and kl_w stays at its default 1."""
+        import jax.numpy as jnp
+        from fiude_tpu.data.synthetic import synthetic_dataset
+        from fiude_tpu.data.loader import ArrayLoader
+        from fiude_tpu.models import UDEForecaster
+        from fiude_tpu.train import LossConfig, Trainer
+
+        x_tr, y_tr, *_ = synthetic_dataset(
+            n_regions=1, n_qs=3, window_size=7, gamma=14, lag=5,
+            n_seasons=2, season_len=80, seed=0)
+        model = UDEForecaster.build(
+            n_regions=1, latent_dim=6, n_qs=3, ode_name="Fp",
+            enc_params={"q_sizes": (8,), "ff_sizes": (8,)},
+            ode_params={"net_sizes": (8,)})
+        trainer = Trainer(model, loss_cfg=LossConfig(anneal=False), len_tr=16)
+        trainer.setup_training(lr=1e-3)
+        loader = ArrayLoader(x_tr[:16], y_tr[:16], batch_size=16, seed=0)
+        t = jnp.arange(0, 8, dtype=jnp.float32) / 7.0
+        trainer.train(loader, t, epochs=2, eval_pts=np.arange(0, 8, 7),
+                      n_samples=4, grad_lim=5000)
+        assert int(trainer.state.tr_step) == 0
+        assert trainer.history.epoch_history[-1]["kl_w"] == 1.0
