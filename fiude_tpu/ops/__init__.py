@@ -1,4 +1,6 @@
 from fiude_tpu.ops.integrate import (
+    odeint_adaptive,
+    odeint_tsit5,
     odeint,
     odeint_grid,
     odeint_dopri5,

@@ -212,8 +212,10 @@ def odeint_grid(
 # Adaptive Dormand-Prince 5(4) with PI step-size control
 # ---------------------------------------------------------------------------
 
-# Butcher tableau (Dormand & Prince 1980) — Python floats (weakly typed) so
-# the state's dtype is never promoted.
+# Butcher tableaux — Python floats (weakly typed) so the state's dtype is
+# never promoted.  Both are 7-stage, order 5(4), FSAL.
+
+# Dormand & Prince 1980
 _DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
 _DP_A = [
     [],
@@ -228,53 +230,94 @@ _DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
 _DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
           187 / 2100, 1 / 40)
 
+# Tsitouras 2011 ("Tsit5") — coefficients from the published paper.
+_TS_C = (0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
+_TS_A = [
+    [],
+    [0.161],
+    [-0.008480655492356989, 0.335480655492357],
+    [2.8971530571054935, -6.359448489975075, 4.3622954328695815],
+    [5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525],
+    [5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383],
+    [0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774],
+]
+_TS_B5 = (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+          -3.290069515436081, 2.324710524099774, 0.0)
+# error-estimate weights btilde = b - b_hat (signed; the error vector is
+# err = dt * sum(btilde_i k_i))
+_TS_B4 = (-0.00178001105222577714, -0.0008164344596567469,
+          0.007880878010261995, -0.1447110071732629, 0.5823571654525552,
+          -0.45808210592918697, 0.015151515151515152)
 
-def _dopri5_step(f, t0, dt, y0, f0):
-    """One DP5(4) step with FSAL. Returns (y5, y_err, f_last)."""
+_ADAPTIVE_TABLEAUX = {
+    "dopri5": (_DP_C, _DP_A, _DP_B5, _DP_B4, True),
+    "tsit5": (_TS_C, _TS_A, _TS_B5, _TS_B4, False),
+}
+
+
+def _adaptive_step(tableau, f, t0, dt, y0, f0):
+    """One embedded RK step with FSAL. Returns (y_hi, y_err, f_last)."""
+    C, A, B5, B4, err_is_diff = tableau
     ks = [f0]
     for i in range(1, 7):
         yi = y0
-        for j, a in enumerate(_DP_A[i]):
+        for j, a in enumerate(A[i]):
             yi = yi + dt * a * ks[j]
-        ki, _ = f(t0 + _DP_C[i] * dt, yi)
+        ki, _ = f(t0 + C[i] * dt, yi)
         ks.append(ki)
     y5 = y0
-    for b, k in zip(_DP_B5, ks):
+    for b, k in zip(B5, ks):
         y5 = y5 + dt * b * k
     y_err = jnp.zeros_like(y0)
-    for b5, b4, k in zip(_DP_B5, _DP_B4, ks):
-        y_err = y_err + dt * (b5 - b4) * k
+    if err_is_diff:
+        for b5, b4, k in zip(B5, B4, ks):
+            y_err = y_err + dt * (b5 - b4) * k
+    else:
+        # Tsit5 publishes b_hat = b - b4 directly
+        for b4, k in zip(B4, ks):
+            y_err = y_err + dt * b4 * k
     return y5, y_err, ks[-1]  # FSAL: k7 = f(t0+dt, y5)
 
 
-def odeint_dopri5(
+def odeint_adaptive(
     rhs: RHS,
     y0: jnp.ndarray,
     t: jnp.ndarray,
     *,
+    method: str = "dopri5",
     rtol: float = 1e-6,
     atol: float = 1e-8,
     max_steps_per_interval: int = 256,
     safety: float = 0.9,
-    pi_alpha: float = 0.7 / 5.0,
-    pi_beta: float = 0.4 / 5.0,
+    pid_alpha: float = 0.7 / 5.0,
+    pid_beta: float = 0.4 / 5.0,
+    pid_gamma: float = 0.0,
     dt0: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Adaptive RK45 (Dormand-Prince) on an output grid ``t``.
+    """Adaptive embedded RK (Dormand-Prince 5(4) or Tsit5) on a grid ``t``.
 
     XLA-friendly: an outer ``lax.scan`` walks the output intervals; an inner
     bounded ``lax.while_loop`` advances adaptively inside each interval with
     the trial step clamped so it lands exactly on the interval endpoint (no
-    dense interpolation needed, shapes stay static).  Step-size selection uses
-    a PI controller: ``dt *= safety * err^(-alpha) * err_prev^(beta)``.
+    dense interpolation needed, shapes stay static).  Step-size selection is
+    a PID controller over the last three error estimates:
+    ``dt *= safety * err^(-alpha) * err_prev^(beta) * err_prev2^(-gamma)``
+    (``gamma=0`` gives the standard PI controller).
 
-    This is the "adaptive RK45 with PID step control in an XLA-friendly
+    This is the "adaptive RK45/Tsit5 with PID step control in an XLA-friendly
     while_loop" required by the north star (capability the reference lacks —
     it only ever uses fixed-step RK4).
 
     Returns ``ys`` of shape ``(T,) + y0.shape``. Aux collection is not
     supported on the adaptive path (step count is data-dependent).
     """
+    if method not in _ADAPTIVE_TABLEAUX:
+        raise ValueError(f"unknown adaptive method {method!r}; "
+                         f"options: {sorted(_ADAPTIVE_TABLEAUX)}")
+    tableau = _ADAPTIVE_TABLEAUX[method]
     _f = _wrap_rhs(rhs)
     f = lambda t, y: _f(0, 0, t, y)
     t = jnp.asarray(t)
@@ -285,41 +328,63 @@ def odeint_dopri5(
         return jnp.sqrt(jnp.mean(jnp.square(y_err / scale)))
 
     def interval(carry, t_pair):
-        y, f_y, dt, err_prev = carry
+        y, f_y, dt, err_prev, err_prev2 = carry
         t0, t1 = t_pair
 
         def cond(state):
-            return jnp.logical_and(state[0] < t1 - 1e-12, state[5] < max_steps_per_interval)
+            return jnp.logical_and(state[0] < t1 - 1e-12,
+                                   state[6] < max_steps_per_interval)
 
         def body(state):
-            t_cur, y_cur, f_cur, dt_cur, ep, n = state
+            t_cur, y_cur, f_cur, dt_cur, ep, ep2, n = state
             h = jnp.minimum(dt_cur, (t1 - t_cur).astype(dt_cur.dtype))
-            y_new, y_err, f_new = _dopri5_step(f, t_cur, h, y_cur, f_cur)
+            y_new, y_err, f_new = _adaptive_step(tableau, f, t_cur, h,
+                                                 y_cur, f_cur)
             err = err_norm(y_err, y_cur, y_new).astype(ep.dtype)
             err = jnp.maximum(err, 1e-10)
             accept = err <= 1.0
-            factor = safety * err ** (-pi_alpha) * ep ** (pi_beta)
+            factor = (safety * err ** (-pid_alpha) * ep ** (pid_beta)
+                      * ep2 ** (-pid_gamma))
             factor = jnp.clip(factor, 0.2, 5.0)
             dt_next = jnp.maximum(h * factor, 1e-8).astype(dt_cur.dtype)
             t_cur = jnp.where(accept, t_cur + h, t_cur).astype(state[0].dtype)
             y_cur = jax.tree.map(lambda a, b: jnp.where(accept, b, a), y_cur, y_new)
             f_cur = jax.tree.map(lambda a, b: jnp.where(accept, b, a), f_cur, f_new)
+            ep2 = jnp.where(accept, ep, ep2).astype(state[5].dtype)
             ep = jnp.where(accept, err, ep).astype(state[4].dtype)
-            return (t_cur, y_cur, f_cur, dt_next, ep, n + 1)
+            return (t_cur, y_cur, f_cur, dt_next, ep, ep2, n + 1)
 
-        t_end, y, f_y, dt, err_prev, _ = jax.lax.while_loop(
-            cond, body, (t0, y, f_y, dt, err_prev, jnp.asarray(0, jnp.int32))
+        t_end, y, f_y, dt, err_prev, err_prev2, _ = jax.lax.while_loop(
+            cond, body,
+            (t0, y, f_y, dt, err_prev, err_prev2, jnp.asarray(0, jnp.int32))
         )
-        return (y, f_y, dt, err_prev), y
+        return (y, f_y, dt, err_prev, err_prev2), y
 
     f0, _ = f(t[0], y0)
     if dt0 is None:
         dt_init = jnp.asarray((t[-1] - t[0]) / jnp.maximum(t.shape[0] - 1, 1) / 4.0, dtype)
     else:
         dt_init = jnp.asarray(dt0, dtype)
-    carry0 = (y0, f0, dt_init, jnp.asarray(1.0, dtype))
+    carry0 = (y0, f0, dt_init, jnp.asarray(1.0, dtype),
+              jnp.asarray(1.0, dtype))
     _, ys = jax.lax.scan(interval, carry0, (t[:-1], t[1:]))
     return jnp.concatenate([y0[None], ys], axis=0)
+
+
+def odeint_dopri5(rhs, y0, t, **kw):
+    """Adaptive Dormand-Prince 5(4) — see :func:`odeint_adaptive`."""
+    kw.pop("method", None)
+    # accept legacy pi_* kwarg spellings
+    for old, new in (("pi_alpha", "pid_alpha"), ("pi_beta", "pid_beta")):
+        if old in kw:
+            kw[new] = kw.pop(old)
+    return odeint_adaptive(rhs, y0, t, method="dopri5", **kw)
+
+
+def odeint_tsit5(rhs, y0, t, **kw):
+    """Adaptive Tsitouras 5(4) — see :func:`odeint_adaptive`."""
+    kw.pop("method", None)
+    return odeint_adaptive(rhs, y0, t, method="tsit5", **kw)
 
 
 def odeint(
@@ -337,8 +402,8 @@ def odeint(
     substep count per output interval.  Returns only ``ys`` (aux dropped) for
     drop-in use; use :func:`odeint_grid` to collect RHS auxiliaries.
     """
-    if method == "dopri5":
-        return odeint_dopri5(rhs, y0, t, **options)
+    if method in ("dopri5", "tsit5"):
+        return odeint_adaptive(rhs, y0, t, method=method, **options)
     step_size = options.pop("step_size", None)
     substeps = options.pop("substeps", None)
     if substeps is None:

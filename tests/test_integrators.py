@@ -218,3 +218,28 @@ class TestAdaptiveInForecaster:
         y_rk, _ = model_rk.apply(params, x, t, eps)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_rk),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestTsit5:
+    def test_exponential_accuracy(self):
+        from fiude_tpu.ops import odeint_tsit5
+        t = jnp.linspace(0.0, 3.0, 7, dtype=jnp.float64)
+        ys = odeint_tsit5(exp_rhs, jnp.array([1.0], jnp.float64), t,
+                          rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(ys[:, 0], jnp.exp(-t), rtol=1e-6)
+
+    def test_sir_matches_dopri5(self):
+        from fiude_tpu.ops import odeint_tsit5
+        y0 = jnp.array([0.9, 0.1, 0.0], dtype=jnp.float64)
+        t = jnp.linspace(0.0, 12.0, 13, dtype=jnp.float64)
+        ys_ts = odeint_tsit5(sir_rhs, y0, t, rtol=1e-9, atol=1e-11)
+        ys_dp = odeint_dopri5(sir_rhs, y0, t, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(ys_ts), np.asarray(ys_dp),
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_pid_third_term(self):
+        from fiude_tpu.ops import odeint_adaptive
+        t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float64)
+        ys = odeint_adaptive(exp_rhs, jnp.array([1.0], jnp.float64), t,
+                             method="dopri5", pid_gamma=0.02)
+        np.testing.assert_allclose(ys[:, 0], jnp.exp(-t), rtol=1e-5)
