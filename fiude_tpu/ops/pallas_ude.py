@@ -170,14 +170,25 @@ def _make_kernel(T: int, dt: float, R: int, L: int,
         else:
             c_tail = b0_cat[:]
 
+        def ship(ti, slot):
+            return pltpu.make_async_copy(
+                scratch.at[slot], out_hbm.at[ti, pl.ds(tile0, tile_b), :],
+                sem.at[slot])
+
         def decode_and_ship(ti, zh):
-            """Decode in VMEM, stream one (tile_b, R_out) step to HBM."""
-            scratch[:] = jnp.dot(zh, dec_w[:],
-                                 preferred_element_type=jnp.float32) + dec_b[:]
-            dma = pltpu.make_async_copy(
-                scratch, out_hbm.at[ti, pl.ds(tile0, tile_b), :], sem)
-            dma.start()
-            dma.wait()
+            """Decode into a double-buffered VMEM slab and stream it to HBM
+            asynchronously — compute overlaps the store; only a reuse of the
+            same slot two steps later waits."""
+            slot = jax.lax.rem(ti, 2)
+
+            @pl.when(ti >= 2)
+            def _():
+                ship(ti - 2, slot).wait()
+
+            scratch[slot] = jnp.dot(zh, dec_w[:],
+                                    preferred_element_type=jnp.float32) \
+                + dec_b[:]
+            ship(ti, slot).start()
 
         def f(zh):
             return rhs(zh, c_tail, weights, w0_head, n0_fp)
@@ -195,6 +206,11 @@ def _make_kernel(T: int, dt: float, R: int, L: int,
             return zh
 
         jax.lax.fori_loop(0, T - 1, step, zh)
+
+        # drain the last (up to) two in-flight stores (T is static)
+        if T >= 2:
+            ship(T - 2, (T - 2) % 2).wait()
+        ship(T - 1, (T - 1) % 2).wait()
 
     return kernel
 
@@ -295,8 +311,8 @@ def fused_trajectory_decode(
         out_specs=pl.BlockSpec(memory_space=hbm_space),
         out_shape=jax.ShapeDtypeStruct((T, B, R_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_b, R_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tile_b, R_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * (T - 1) * flops_per_eval * (B // tile_b),
