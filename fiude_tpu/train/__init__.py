@@ -20,3 +20,4 @@ from fiude_tpu.train.experiment import (
     run_transfer,
     run_tuning_worker,
 )
+from fiude_tpu.train.torch_compat import params_from_torch_checkpoint
