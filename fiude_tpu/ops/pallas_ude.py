@@ -373,7 +373,7 @@ def fused_trajectory_decode(
         w = arrs[k]
         flops_per_eval += 2 * tile_b * w.shape[0] * w.shape[1]
 
-    hbm_space = getattr(pltpu, "HBM", getattr(pltpu, "ANY", None))
+    hbm_space = pltpu.MemorySpace.HBM
     y = pl.pallas_call(
         kernel,
         grid=(B // tile_b,),
