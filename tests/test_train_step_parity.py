@@ -148,7 +148,7 @@ class TestTrainStepParity:
             jnp.asarray(0), jnp.asarray(1e9))
 
         # loss + each term
-        assert float(metrics["loss"]) == pytest.approx(float(loss_t),
+        assert float(metrics["loss"]) == pytest.approx(float(loss_t.detach()),
                                                        rel=2e-4)
         for k, v in terms_t.items():
             assert float(metrics[k]) == pytest.approx(float(v), rel=2e-3,
