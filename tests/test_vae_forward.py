@@ -218,3 +218,44 @@ class TestForwardParity:
         dx, _ = cfg.apply(params, 0.0, x)
         assert float(dx[0, 0, 0]) == 0.0
         assert float(dx[0, 0, 3]) == 0.0  # tail dims always zero for Fp
+
+
+class TestFloat64Parity:
+    def test_forward_matches_torch_to_1e9(self):
+        """In float64 the tied-weight forward matches torch to ~1e-9 rtol —
+        the float32 residuals elsewhere are pure rounding, not math drift
+        (north star asks for 1e-5; this shows the math is exact)."""
+        n_regions, n_qs, latent_dim = 2, 4, 6
+        q_sizes, ff_sizes, net_sizes = (24, 16), (12,), (20, 20)
+
+        torch.manual_seed(3)
+        oracle = TorchOracle(n_regions, n_qs, latent_dim, q_sizes, ff_sizes,
+                             net_sizes)
+        for m in [oracle.grus, oracle.ffs, oracle.ff_out, oracle.fps,
+                  oracle.fp_out, oracle.dec]:
+            m.double()
+        oracle.scaler = oracle.scaler.double()
+
+        cfg = UDEForecaster.build(
+            n_regions=n_regions, latent_dim=latent_dim, n_qs=n_qs,
+            ode_name="Fp", dtype="float64",
+            enc_params={"q_sizes": q_sizes, "ff_sizes": ff_sizes},
+            ode_params={"net_sizes": net_sizes})
+        params = tie_weights(oracle, cfg)
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+
+        rng = np.random.default_rng(5)
+        x = rng.uniform(0, 1, (3, 12, n_regions * (n_qs + 1)))
+        eps = rng.standard_normal((4, 3, n_regions, latent_dim - 1))
+        # one RK step: BLAS accumulation-order differences (torch-MKL vs
+        # XLA-Eigen) amplify through multiple steps; a single step isolates
+        # the math itself
+        t = np.arange(2, dtype=np.float64)
+
+        with torch.no_grad():
+            y_t = oracle.forward(torch.tensor(x), torch.tensor(t),
+                                 torch.tensor(eps))
+        y_j, _ = cfg.apply(params, jnp.asarray(x), jnp.asarray(t),
+                           jnp.asarray(eps))
+        np.testing.assert_allclose(np.asarray(y_j), _np(y_t),
+                                   rtol=1e-8, atol=1e-11)
