@@ -75,7 +75,7 @@ def main():
         lines.append(f"## {r['model']}")
         lines.append("")
         lines.append(f"- train NLL: {r['first_epoch_nll']:.3f} (epoch 1) -> "
-                     f"{r['final_epoch_nll']:.3f} (epoch {len_hist(r)})")
+                     f"{r['final_epoch_nll']:.3f} (final epoch)")
         for k, v in r.items():
             if k.startswith("2016") or k.startswith("skill"):
                 lines.append(f"- {k}: {v}")
@@ -84,10 +84,6 @@ def main():
     with open(os.path.join(args.out_dir, "RESULTS_SYNTH.md"), "w") as fh:
         fh.write("\n".join(lines))
     print("wrote", os.path.join(args.out_dir, "RESULTS_SYNTH.md"))
-
-
-def len_hist(r):
-    return "end"
 
 
 if __name__ == "__main__":
