@@ -4,6 +4,7 @@ from fiude_tpu.models.encoders import (
     BiGRUEncoder,
     MISOGRUEncoder,
     BiLSTMEncoder,
+    GenericEncoder,
     sir_scaler_vector,
 )
 from fiude_tpu.models.decoder import LinearDecoder

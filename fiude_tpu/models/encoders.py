@@ -13,6 +13,11 @@ Four encoder families for capability parity with the reference:
   ``lib/Old/old_models.py:319-370``).
 * :class:`BiLSTMEncoder` — bidirectional LSTM read at position -14
   (reference ``tuning/tune_node.py:25-61``).
+* :class:`GenericEncoder` — the legacy generic CustomRNN+FFNetwork stack
+  (reference ``lib/Old/old_models.py:9-39,144-186``): optional time
+  reversal, stacked GRUs read at the last step, a *standard* ReLU MLP head
+  (activation before the final projection, unlike the live encoder's
+  two-consecutive-linear quirk).
 
 All are (config dataclass, init fn, pure apply fn) triples.  The SIR scaler
 is a non-trainable buffer derived from config (it multiplies the std head:
@@ -28,7 +33,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from fiude_tpu.models.nn import Dense, init_dense, relu_mlp
+from fiude_tpu.models.nn import Dense, init_dense, relu_mlp, relu_mlp_standard
 from fiude_tpu.ops.gru import (
     GRUParams,
     LSTMParams,
@@ -124,6 +129,63 @@ class BackGRUEncoder:
 
 
 class BackGRUEncoderParams(NamedTuple):
+    grus: Tuple[GRUParams, ...]
+    ff: Tuple[Dense, ...]
+
+
+# ---------------------------------------------------------------------------
+# Generic legacy encoder (CustomRNN + FFNetwork)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GenericEncoder:
+    """Legacy generic encoder (reference ``lib/Old/old_models.py:9-39``):
+    stacked GRUs over the (optionally time-reversed) window, last hidden
+    step into a standard ReLU MLP head appended with a ``2*R*L`` projection
+    (``:13``), split into (mean, |std|*SIR_scaler)."""
+    rnn_input_size: int
+    n_regions: int
+    latent_dim: int = 6
+    rnn_hidden_sizes: Tuple[int, ...] = (64,)
+    ff_hidden_sizes: Tuple[int, ...] = (32,)
+    sir_scaler: Tuple[float, ...] = (0.1, 0.05, 1.0)
+    reverse: bool = True
+    uncertainty: bool = True
+    dtype: str = "float32"
+    scan_unroll: int = 4
+
+    @property
+    def out_features(self) -> int:
+        return 2 * self.n_regions * self.latent_dim
+
+    def init(self, key) -> "GenericEncoderParams":
+        dtype = jnp.dtype(self.dtype)
+        keys = jax.random.split(key, len(self.rnn_hidden_sizes) + 1)
+        grus = []
+        in_size = self.rnn_input_size
+        for i, h in enumerate(self.rnn_hidden_sizes):
+            grus.append(init_gru(keys[i], in_size, h, dtype))
+            in_size = h
+        sizes = ([self.rnn_hidden_sizes[-1]] + list(self.ff_hidden_sizes)
+                 + [self.out_features])
+        ff = tuple(init_dense(jax.random.fold_in(keys[-1], i),
+                              sizes[i], sizes[i + 1], dtype)
+                   for i in range(len(sizes) - 1))
+        return GenericEncoderParams(grus=tuple(grus), ff=ff)
+
+    def apply(self, params: "GenericEncoderParams", x: jnp.ndarray):
+        """x: (B, T, rnn_input_size) -> (mean, std) each (B, R, L)."""
+        scaler = sir_scaler_vector(self.sir_scaler, self.latent_dim, x.dtype)
+        if self.reverse:
+            x = jnp.flip(x, axis=1)
+        from fiude_tpu.ops.gru import gru_stack_last
+        h = gru_stack_last(params.grus, x, unroll=self.scan_unroll)
+        h = relu_mlp_standard(params.ff, h)
+        return _split_mean_std(h, self.n_regions, self.latent_dim, scaler,
+                               self.uncertainty)
+
+
+class GenericEncoderParams(NamedTuple):
     grus: Tuple[GRUParams, ...]
     ff: Tuple[Dense, ...]
 

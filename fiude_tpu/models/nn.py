@@ -80,3 +80,18 @@ def elu_mlp(layers: Sequence[Dense], x: jnp.ndarray) -> jnp.ndarray:
 
 def relu_mlp(layers: Sequence[Dense], x: jnp.ndarray) -> jnp.ndarray:
     return mlp_apply(layers, x, jax.nn.relu)
+
+
+def mlp_apply_standard(layers: Sequence[Dense], x: jnp.ndarray,
+                       activation) -> jnp.ndarray:
+    """Conventional MLP ordering: activation after every layer except the
+    final projection — the legacy ``FFNetwork`` convention
+    (reference ``lib/Old/old_models.py:165-186``), which unlike
+    :func:`mlp_apply` does activate the input of the last layer."""
+    for layer in layers[:-1]:
+        x = activation(dense(layer, x))
+    return dense(layers[-1], x)
+
+
+def relu_mlp_standard(layers: Sequence[Dense], x: jnp.ndarray) -> jnp.ndarray:
+    return mlp_apply_standard(layers, x, jax.nn.relu)

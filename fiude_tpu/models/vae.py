@@ -127,6 +127,19 @@ class UDEForecaster:
             encoder = BiGRUEncoder(n_regions=n_regions, n_qs=n_qs,
                                    latent_dim=ld_enc, uncertainty=uncertainty,
                                    dtype=dtype, **enc_params)
+        elif encoder_name in ("generic", "Encoder"):
+            from fiude_tpu.models.encoders import GenericEncoder
+            enc_params.setdefault("rnn_input_size", n_regions * (n_qs + 1))
+            if "rnn_hidden_sizes" not in enc_params and "q_sizes" in enc_params:
+                enc_params["rnn_hidden_sizes"] = tuple(enc_params.pop("q_sizes"))
+            if "ff_hidden_sizes" not in enc_params and "ff_sizes" in enc_params:
+                enc_params["ff_hidden_sizes"] = tuple(enc_params.pop("ff_sizes"))
+            for k in ("rnn_hidden_sizes", "ff_hidden_sizes"):
+                if k in enc_params:
+                    enc_params[k] = tuple(enc_params[k])
+            encoder = GenericEncoder(n_regions=n_regions, latent_dim=ld_enc,
+                                     uncertainty=uncertainty, dtype=dtype,
+                                     **enc_params)
         elif encoder_name in ("bilstm", "Encoder_BiDirectionalLSTM"):
             from fiude_tpu.models.encoders import BiLSTMEncoder
             enc_params.setdefault("input_size", n_regions * (n_qs + 1))
@@ -223,13 +236,28 @@ class UDEForecaster:
 
         if self.is_bayes and rng is None:
             rng = jax.random.PRNGKey(0)
-        if self.method == "dopri5":
-            # adaptive path: no stage-ordered aux (step count is data-
-            # dependent) — use with loss configs that don't need kl_p/fa_norm
-            from fiude_tpu.ops.integrate import odeint_dopri5
+        if self.method in ("dopri5", "tsit5"):
+            if self.is_bayes:
+                raise ValueError(
+                    "adaptive methods do not support Bayes RHS variants: "
+                    "fresh per-evaluation weight noise needs the fixed-stage "
+                    "path (use method='rk4')")
+            # Train through the adaptive forward with the continuous adjoint
+            # (the adaptive while_loop is not reverse-differentiable).  The
+            # RHS params and fa_w ride as explicit adjoint params so no
+            # tracer is closed over inside the custom_vjp.
+            from fiude_tpu.ops.adjoint import odeint_adjoint
+            latent = odeint_adjoint(
+                lambda pw, s, y: self.rhs_fn(pw[0], pw[1])(s, y)[0],
+                (params.ode, fa_w), z, t, method=self.method)
             rhs = self.rhs_fn(params.ode, fa_w)
-            latent = odeint_dopri5(lambda s, y: rhs(s, y)[0], z, t)
-            aux = None
+            # The adaptive step count is data-dependent, so the fixed path's
+            # stage-ordered aux (reference lib/models.py:137,187) cannot be
+            # collected. Evaluate the RHS aux at the accepted output grid
+            # points instead — leading dim (T-1,) lines up with the padded-
+            # curriculum time_mask, so kl_p / fa_norm / reg_loss configs
+            # work on every solver.
+            aux = jax.vmap(lambda ti, yi: rhs(ti, yi)[1])(t[1:], latent[1:])
         else:
             latent, aux = odeint_grid(
                 self.rhs_fn(params.ode, fa_w), z, t,

@@ -25,7 +25,9 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from fiude_tpu.ops.integrate import odeint_dopri5, odeint_grid
+from fiude_tpu.ops.integrate import (
+    _ADAPTIVE_TABLEAUX, odeint_adaptive, odeint_grid,
+)
 
 
 def odeint_adjoint(
@@ -40,9 +42,9 @@ def odeint_adjoint(
     """Integrate ``dy/dt = f(params, t, y)`` on grid ``t`` with adjoint-based
     gradients w.r.t. ``params`` and ``y0``.
 
-    ``method='dopri5'`` runs the adaptive solver forward (whose while_loop is
-    not reverse-differentiable) and the fixed-step adjoint backward — this is
-    how the adaptive path becomes trainable.
+    Adaptive methods (``dopri5``/``tsit5``) run the adaptive solver forward
+    (whose while_loop is not reverse-differentiable) and the fixed-step
+    adjoint backward — this is how the adaptive path becomes trainable.
 
     Returns ``ys`` of shape ``(T,) + y0.shape`` (no aux on this path).
     """
@@ -51,8 +53,9 @@ def odeint_adjoint(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _odeint_adjoint(f, method, substeps, params, y0, t):
-    if method == "dopri5":
-        return odeint_dopri5(lambda s, y: f(params, s, y), y0, t)
+    if method in _ADAPTIVE_TABLEAUX:
+        return odeint_adaptive(lambda s, y: f(params, s, y), y0, t,
+                               method=method)
     ys, _ = odeint_grid(lambda s, y: f(params, s, y), y0, t,
                         method=method, substeps=substeps)
     return ys
@@ -65,7 +68,7 @@ def _fwd(f, method, substeps, params, y0, t):
 
 def _bwd(f, method, substeps, residuals, g):
     params, ys, t = residuals
-    if method == "dopri5":
+    if method in _ADAPTIVE_TABLEAUX:
         # the backward sweep uses a fixed-step integrator (adaptive forward
         # is fine: the adjoint only needs the checkpointed grid states)
         method, substeps = "rk4", max(substeps, 8)

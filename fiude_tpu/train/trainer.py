@@ -265,15 +265,15 @@ class Trainer:
               grad_lim: float = 300.0, n_samples: int = 32,
               checkpoint: bool = False, validate: Optional[Dict] = None,
               warmup: bool = False, verbose: bool = False,
-              curriculum: str = "exact", norm_file: Optional[str] = None,
+              norm_file: Optional[str] = None,
               nan_guard: bool = False):
-        """Epoch loop (reference lib/VAE.py:248-291).
+        """Epoch loop (reference lib/VAE.py:248-291), exact-horizon mode.
 
         ``t``: full time grid for this phase; ``eval_pts``: indices into ``t``
-        where the loss is evaluated.  In ``"exact"`` mode the solver runs on
-        ``t[eval_pts]`` only (reference semantics: one RK step between eval
-        points); in ``"padded"`` mode it runs the full ``t[eval_pts]`` grid of
-        the *final* curriculum stage with a step mask (single compilation).
+        where the loss is evaluated.  The solver runs on ``t[eval_pts]`` only
+        (reference semantics: one RK step between eval points), so each new
+        horizon re-traces once; use :meth:`train_curriculum_padded` for the
+        single-compilation masked curriculum.
         """
         assert self.state is not None, "call setup_training() first"
         t = jnp.asarray(t)

@@ -27,13 +27,21 @@ class Ledger:
         with open(self.path, "r") as fh:
             return fh.read().splitlines()
 
+    @staticmethod
+    def _matches(line: str, key: str) -> bool:
+        """A ledger line belongs to ``key`` iff it is the key itself or the
+        key followed by status words.  The reference's substring test
+        (``run_ode.py:109-119`` ``if save_name in t``) false-positives when
+        one key prefixes another (e.g. ``cfg1`` vs ``cfg10``) — delimiter
+        matching fixes that without changing the file format."""
+        return line == key or line.startswith(key + " ")
+
     def claim(self, key: str) -> bool:
-        """Atomically claim ``key``; False if already claimed
-        (run_ode.py:106-119 semantics: prefix match)."""
+        """Atomically claim ``key``; False if already claimed."""
         with self.lock:
             lines = self._read()
             for line in lines:
-                if key in line:
+                if self._matches(line, key):
                     return False
             with open(self.path, "a") as fh:
                 fh.write(key + "\n")
@@ -45,13 +53,13 @@ class Ledger:
             lines = self._read()
             with open(self.path, "w") as fh:
                 for line in lines:
-                    if line.startswith(key):
+                    if self._matches(line, key):
                         line = line.rstrip("\n") + " " + status
                     fh.write(line + "\n")
 
     def status(self, key: str) -> Optional[str]:
         for line in self._read():
-            if line.startswith(key):
+            if self._matches(line, key):
                 parts = line[len(key):].strip()
                 return parts or "claimed"
         return None

@@ -196,7 +196,7 @@ class TestDispatcher:
 
 class TestAdaptiveInForecaster:
     def test_dopri5_forward_in_model(self):
-        """UDEForecaster(method='dopri5'): adaptive serving path, no aux."""
+        """UDEForecaster(method='dopri5'): adaptive path with grid-point aux."""
         from fiude_tpu.models import UDEForecaster
         import dataclasses as dc
         model = UDEForecaster.build(
@@ -211,7 +211,8 @@ class TestAdaptiveInForecaster:
         t = jnp.arange(4, dtype=jnp.float32)
         y, extras = model.apply(params, x, t, eps)
         assert y.shape == (2, 3, 4, 1)
-        assert extras.aux is None
+        # aux is evaluated at the accepted output grid points: (T-1, B*S, R, 2)
+        assert extras.aux["rates"].shape == (3, 6, 1, 2)
         assert np.all(np.isfinite(np.asarray(y)))
         # close to the fixed-step solution on this smooth problem
         model_rk = dc.replace(model, method="rk4", substeps=8)

@@ -33,11 +33,23 @@ class TestLedger:
         led.mark("US/UONN/2016_", "failed")
         assert led.status("US/UONN/2016_") == "failed"
 
-    def test_prefix_matching(self, tmp_path):
+    def test_prefix_keys_are_distinct(self, tmp_path):
+        """Delimiter matching: one key prefixing another must not collide
+        (the reference's ``save_name in t`` test at run_ode.py:109-119 would
+        treat cfg1 as claimed once cfg10 is)."""
+        led = Ledger(str(tmp_path / "started.txt"))
+        assert led.claim("US/CONN/cfg10")
+        assert led.claim("US/CONN/cfg1")       # not shadowed by cfg10
+        assert not led.claim("US/CONN/cfg10")  # but exact re-claim rejected
+        led.mark("US/CONN/cfg1", "finished")
+        assert led.status("US/CONN/cfg1") == "finished"
+        assert led.status("US/CONN/cfg10") == "claimed"  # mark didn't leak
+
+    def test_superstring_keys_are_distinct(self, tmp_path):
         led = Ledger(str(tmp_path / "started.txt"))
         led.claim("weights/US/CONN/2016_e140_")
-        # a key contained in an existing line is considered claimed
-        assert not led.claim("US/CONN/2016_e140_")
+        # a key that is a substring of an existing line is its own work unit
+        assert led.claim("US/CONN/2016_e140_")
 
 
 class TestResults:

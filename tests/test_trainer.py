@@ -138,6 +138,57 @@ class TestTraining:
         assert lr == pytest.approx(1e-4)
 
 
+class TestAdaptiveSolverTraining:
+    """VERDICT item 3: adaptive methods must work with aux-requiring loss
+    configs (kl_p / fa_norm) instead of crashing on ``aux[\"rates\"]``."""
+
+    def test_dopri5_with_kl_p_and_fa_norm(self, tiny_data):
+        x_tr, y_tr, *_ = tiny_data
+        model = UDEForecaster.build(
+            n_regions=1, latent_dim=6, n_qs=3, ode_name="FaFp",
+            enc_params={"q_sizes": (16,), "ff_sizes": (12,)},
+            ode_params={"net_sizes": (12, 12), "aug_net_sizes": (12, 12)},
+            method="dopri5")
+        trainer = Trainer(model, loss_cfg=TRAINING_INFO["UONN"],
+                          len_tr=48, seed=11)
+        trainer.setup_training(lr=1e-3)
+        loader = ArrayLoader(x_tr[:16], y_tr[:16], batch_size=16, seed=0)
+        t = jnp.arange(0, 8, dtype=jnp.float32) / 7.0
+        trainer.train(loader, t, epochs=1, eval_pts=np.arange(0, 8, 7),
+                      n_samples=4, grad_lim=5000)
+        ep = trainer.history.epoch_history[-1]
+        assert np.isfinite(ep["loss"])
+        assert np.isfinite(ep["kl_params"]) and np.isfinite(ep["Fa_norm"])
+
+    def test_adaptive_aux_grid_shape(self, tiny_data):
+        """Adaptive aux is evaluated at the accepted output grid: leading
+        dim (T-1,) matching the padded-curriculum time_mask."""
+        x_tr, *_ = tiny_data
+        model = UDEForecaster.build(
+            n_regions=1, latent_dim=6, n_qs=3, ode_name="Fp",
+            enc_params={"q_sizes": (16,), "ff_sizes": (12,)},
+            ode_params={"net_sizes": (12, 12)}, method="tsit5")
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(x_tr[:4])
+        t = jnp.arange(0, 5, dtype=jnp.float32) / 7.0
+        eps = model.sample_eps(jax.random.PRNGKey(1), 4, 2)
+        _, extras = model.apply(params, x, t, eps)
+        assert extras.aux["rates"].shape[0] == t.shape[0] - 1
+
+    def test_bayes_adaptive_rejected(self, tiny_data):
+        x_tr, *_ = tiny_data
+        model = UDEForecaster.build(
+            n_regions=1, latent_dim=6, n_qs=3, ode_name="Bayes_Fp",
+            enc_params={"q_sizes": (16,), "ff_sizes": (12,)},
+            ode_params={"net_sizes": (12, 12)}, method="dopri5")
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(x_tr[:4])
+        t = jnp.arange(0, 5, dtype=jnp.float32) / 7.0
+        eps = model.sample_eps(jax.random.PRNGKey(1), 4, 2)
+        with pytest.raises(ValueError, match="adaptive"):
+            model.apply(params, x, t, eps)
+
+
 class TestCheckpointing:
     def test_roundtrip(self, tmp_path, tiny_data):
         trainer = make_trainer(seed=6)
