@@ -180,6 +180,12 @@ class DataConstructor:
                  n_queries: int = 10, gamma: int = 28, window_size: int = 28,
                  lag: int = 14, fill_1: bool = False, root: str = "Data/",
                  ignore: Sequence[str] = ("VI", "PR")):
+        if region == "England":
+            # the reference's regional DataConstructor has no England path
+            # either; its England pipeline is lib/Old/data.py:43-114
+            raise ValueError(
+                "region='England' is not a regional pipeline; use "
+                "fiude_tpu.data.legacy.legacy_national_data(country='England')")
         self.test_season = test_season
         self.region = region
         self.n_queries = n_queries

@@ -284,3 +284,48 @@ def write_reference_data_tree(root: str, *, n_qs: int = 12, seed: int = 0,
             "test_end": f"{season + 1}-05-01",
         })
     pd.DataFrame(rows).set_index("season").to_csv(os.path.join(root, "Dates.csv"))
+
+
+def write_legacy_national_tree(root: str, *, n_qs: int = 6,
+                               seed: int = 0) -> None:
+    """Fabricate the files the legacy national pipeline reads
+    (:mod:`fiude_tpu.data.legacy`, reference ``lib/Old/data.py:15-74``):
+
+      - ``national_flu.csv`` — weekly US ILI from 1997 (the reference skips
+        the first 300 rows, ``:66``); Sunday-dated so the +3-day shift lands
+        on the Wednesday season anchors
+      - ``ILI_rates_{UK,US}_thursday_cubic_interpolation.csv`` — daily
+        national ILI, ``wILI`` column
+      - ``{UK,US}_Qs_small_7day_avg.csv`` — daily national query columns
+      - ``{UK,US}_Similarity_Scores.csv`` — per-query semantic scores
+    """
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    q_names = [f"query_{i}" for i in range(n_qs)]
+
+    # weekly US ILI, Sundays 1997-01-05 .. 2017-07
+    week_dates = pd.date_range("1997-01-05", "2017-07-30", freq="7D")
+    n_seasons = len(week_dates) // 52 + 1
+    daily_curve = synthetic_daily_ili(1, n_seasons, 364, seed)[:, 0]
+    widx = [(d - week_dates[0]).days for d in week_dates]
+    nat = pd.DataFrame({"weighted_ili": daily_curve[widx]})
+    nat["week"] = np.arange(len(week_dates))
+    nat["date"] = week_dates
+    nat.to_csv(os.path.join(root, "national_flu.csv"), index=False)
+
+    # daily national ILI + queries per country, Sundays-aligned start
+    day_dates = pd.date_range("2003-06-01", "2017-06-30", freq="D")
+    for code, shift in (("UK", 0), ("US", 1)):
+        curve = synthetic_daily_ili(1, len(day_dates) // 364 + 1, 364,
+                                    seed + shift)[: len(day_dates), 0]
+        pd.DataFrame({"wILI": curve}, index=day_dates).to_csv(
+            os.path.join(root,
+                         f"ILI_rates_{code}_thursday_cubic_interpolation.csv"))
+        qs = synthetic_queries(curve[:, None], n_qs, seed + 10 + shift)[:, 0, :]
+        pd.DataFrame(qs * 100.0, index=day_dates, columns=q_names).to_csv(
+            os.path.join(root, f"{code}_Qs_small_7day_avg.csv"))
+        pd.DataFrame({"similarity": rng.uniform(0.3, 1.0, n_qs)},
+                     index=q_names).to_csv(
+            os.path.join(root, f"{code}_Similarity_Scores.csv"))
