@@ -17,7 +17,10 @@ Metric: region x ensemble UDE trajectory solves per second
 (= rounds * n_samples * batch * n_regions / elapsed).
 Baseline: the north-star target of 1000 solves/sec (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+The training-step throughput (the reference's actual hot loop,
+lib/VAE.py:200-223 — backprop through the solver) is measured in the same
+run and reported on stderr + docs/BENCH.md.
 """
 
 import json
@@ -102,6 +105,13 @@ def main():
         best = max(best, solves / elapsed)
     solves_per_sec = best
 
+    # -- training-step throughput (same run, reported on stderr) -----------
+    train_ms = bench_train_step(model, params)
+    print(f"train_step: {train_ms:.2f} ms/step "
+          f"({1000.0 / train_ms:.0f} steps/s, state UONN, 64x32 ensemble, "
+          "8 weekly RK4 steps, backprop through the solver)",
+          file=sys.stderr, flush=True)
+
     baseline = 1000.0  # north-star target (BASELINE.json): >=1000 on v5e-8
     print(json.dumps({
         "metric": "ude_region_ensemble_solves_per_sec",
@@ -109,6 +119,52 @@ def main():
         "unit": "solves/s (49-region x 2048-ensemble, 85-step RK4, fused kernel)",
         "vs_baseline": round(solves_per_sec / baseline, 3),
     }))
+
+
+def bench_train_step(model, params, *, batch=32, n_samples=64,
+                     n_weekly=8, steps=40):
+    """ms/step of the full jitted training step (loss stack + backprop
+    through the RK4 scan + Adam + skip rule) at the state-config shape —
+    the reference's hot loop (lib/VAE.py:200-223).  Steps are dispatched
+    back-to-back and synced once at the end, amortizing the tunnel."""
+    import jax
+    import jax.numpy as jnp
+    import time as _time
+
+    from fiude_tpu.train.losses import TRAINING_INFO
+    from fiude_tpu.train.trainer import Trainer
+
+    n_regions = model.n_regions
+    n_qs = (model.encoder.n_qs if hasattr(model.encoder, "n_qs") else 8)
+    trainer = Trainer(model, loss_cfg=TRAINING_INFO["UONN"], len_tr=130)
+    trainer.params = params
+    trainer.setup_training(lr=1e-3)
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(
+        0, 1, (batch, 42, n_regions * (n_qs + 1))).astype(np.float32))
+    t_eval = jnp.arange(n_weekly, dtype=jnp.float32)
+    y = jnp.asarray(rng.uniform(
+        0, 1, (batch, n_weekly, n_regions)).astype(np.float32))
+
+    def run(n):
+        state = trainer.state
+        metrics = None
+        for i in range(n):
+            state, metrics = trainer._step_fn(
+                state, x, y, t_eval, None, jnp.asarray(1.0, jnp.float32),
+                jnp.asarray(4, jnp.int32), jnp.asarray(5000.0, jnp.float32),
+                eps_key=jax.random.fold_in(jax.random.PRNGKey(3), i),
+                n_samples=n_samples)
+        return float(metrics["loss"])  # host fetch = sync
+
+    run(2)  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        start = _time.perf_counter()
+        run(steps)
+        best = min(best, (_time.perf_counter() - start) / steps)
+    return best * 1000.0
 
 
 if __name__ == "__main__":

@@ -131,12 +131,28 @@ class PopulationTrainer:
                  *, lr: float = 1e-3, len_tr: int = 130,
                  anneal: AnnealConfig = AnnealConfig(),
                  prior_params: Optional[Dict] = None,
-                 mesh: Optional[Mesh] = None, seed: int = 0):
+                 mesh: Optional[Mesh] = None, seed: int = 0,
+                 member_seeds: Optional[Sequence[int]] = None,
+                 ode_kl_w: Optional[float] = None):
+        """``member_seeds`` pins each member to the exact PRNG chain a
+        single-config :class:`~fiude_tpu.train.trainer.Trainer` with that
+        seed would consume (init key, then one eps key per batch) — a
+        1-member population then reproduces ``run_experiment`` bit-for-bit
+        (same seed -> same params/metrics)."""
         self.model = model
         self.n_members = n_members
-        self.opt = optax.adam(lr)
+        if ode_kl_w is not None:
+            loss_cfg = dataclasses.replace(loss_cfg, ode_kl_w=ode_kl_w)
+        self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
         self._key = jax.random.PRNGKey(seed)
-        keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
+        if member_seeds is None:
+            self._member_keys = None
+            keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
+        else:
+            assert len(member_seeds) == n_members
+            self._member_keys = [jax.random.PRNGKey(int(s))
+                                 for s in member_seeds]
+            keys = self._next_member_keys()
         params = stack_trees([model.init(k) for k in keys])
         opt_state = jax.vmap(self.opt.init)(params)
         self.states = TrainState(
@@ -153,6 +169,25 @@ class PopulationTrainer:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _next_member_keys(self):
+        """Advance each member's Trainer-mirroring PRNG chain one split."""
+        subs = []
+        for i, k in enumerate(self._member_keys):
+            self._member_keys[i], sub = jax.random.split(k)
+            subs.append(sub)
+        return jnp.stack(subs)
+
+    def _batch_keys(self):
+        """(rngs, eps_keys) for one step, preserving the Trainer's draw
+        order (rng first iff Bayes, then eps — trainer.py train loop)."""
+        if self._member_keys is None:
+            eps_keys = jax.random.split(self.next_key(), self.n_members)
+            rngs = jax.random.split(self.next_key(), self.n_members)
+            return rngs, eps_keys
+        rngs = (self._next_member_keys() if self.model.is_bayes else None)
+        eps_keys = self._next_member_keys()
+        return (rngs if rngs is not None else eps_keys), eps_keys
+
     def train(self, loader, t, epochs: int, eval_pts, *,
               n_samples: int = 32, grad_lim: float = 5000.0):
         t = jnp.asarray(t)
@@ -163,11 +198,11 @@ class PopulationTrainer:
             for x_b, y_b in loader:
                 x_b = jnp.asarray(x_b)
                 y_b = jnp.asarray(y_b)[:, eval_pts, :]
+                rngs, eps_keys = self._batch_keys()
                 eps = jax.vmap(
                     lambda k: self.model.sample_eps(k, x_b.shape[0], n_samples,
                                                     x_b.dtype)
-                )(jax.random.split(self.next_key(), self.n_members))
-                rngs = jax.random.split(self.next_key(), self.n_members)
+                )(eps_keys)
                 self.states, metrics = self.step_fn(
                     self.states, x_b, y_b, t[eval_pts], eps, self.fa_w,
                     jnp.asarray(epoch, jnp.int32),
@@ -228,9 +263,13 @@ def run_population_experiment(group: Sequence[Any], *,
                                                  seed=seed)
     loader = ArrayLoader(x_tr, y_tr, batch_size=cfg0.batch_size, seed=seed)
     model = UDEForecaster.build(**cfg0.model_kwargs())
-    pop = PopulationTrainer(model, n_members=len(group),
-                            loss_cfg=TRAINING_INFO[cfg0.ode_name],
-                            lr=cfg0.lr, mesh=mesh, seed=seed)
+    pop = PopulationTrainer(
+        model, n_members=len(group), loss_cfg=TRAINING_INFO[cfg0.ode_name],
+        lr=cfg0.lr, mesh=mesh, seed=seed,
+        # pin each member to the PRNG chain run_experiment's Trainer uses
+        # for that config (build_trainer seeds with seed + cfg.num)
+        member_seeds=[seed + c.num for c in group],
+        ode_kl_w=1 / 153 if cfg0.ode_name.endswith("b") else None)
 
     t = jnp.arange(cfg0.window_size + cfg0.gamma + 1, dtype=jnp.float32) / 7.0
     eval_all = list(np.linspace(0, cfg0.gamma, int(cfg0.gamma / 7) + 1,

@@ -100,8 +100,11 @@ def run_experiment(cfg: ExperimentConfig, *,
     eval_all = list(np.linspace(0, cfg.gamma, int(cfg.gamma / 7) + 1,
                                 dtype=int))
     stages = range(2, len(eval_all) + 1) if curriculum else [len(eval_all)]
-    epochs_per_cycle = (int(cfg.epochs / (len(eval_all) - 1)) if curriculum
-                        else cfg.epochs)
+    # clamp to >=1 like the population path (parallel/sweep.py) so tiny
+    # epoch budgets still train each stage; the reference never hits this
+    # (its sweeps use epochs >= 140, run_ode.py:149)
+    epochs_per_cycle = (max(int(cfg.epochs / (len(eval_all) - 1)), 1)
+                        if curriculum else cfg.epochs)
     for i in stages:
         eval_pts = eval_all[:i]
         time_steps = t[: eval_pts[-1] + 1]
