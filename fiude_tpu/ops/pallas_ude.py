@@ -413,7 +413,7 @@ class FusedForecaster:
 
     def __init__(self, model, params, *, fa_w: float = 1.0,
                  tile_b: int = 1024, interpret: Optional[bool] = None,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", fuse_encoder: bool = True):
         from fiude_tpu.models.rhs import SIRRates, UDE
         if not isinstance(model.ode, (SIRRates, UDE)):
             raise TypeError("fused path supports SIRRates/UDE RHS only")
@@ -432,6 +432,18 @@ class FusedForecaster:
                                                     model.n_regions)
         self.n_fp_layers = len(params.ode.fp_net)
         self.n_aug_layers = len(params.ode.aug_net) if has_aug else 0
+        # optional fused encoder kernel: the whole serving path becomes two
+        # Pallas launches (encode, trajectory+decode)
+        self.fused_encoder = None
+        if fuse_encoder:
+            from fiude_tpu.models.encoders import BackGRUEncoder
+            if isinstance(model.encoder, BackGRUEncoder):
+                from fiude_tpu.ops.pallas_gru import FusedBackGRUEncoder
+                try:
+                    self.fused_encoder = FusedBackGRUEncoder(
+                        model.encoder, params.enc, interpret=interpret)
+                except Exception:
+                    self.fused_encoder = None  # fall back to XLA encoder
 
     def __call__(self, x, t, eps):
         from fiude_tpu.models.vae import reparam
@@ -443,7 +455,13 @@ class FusedForecaster:
         dt = float(t[1] - t[0])
         n_samples, batch = eps.shape[0], eps.shape[1]
 
-        mean, std = model.encoder.apply(self.params.enc, x)
+        if self.fused_encoder is not None:
+            try:
+                mean, std = self.fused_encoder(x)
+            except ValueError:  # VMEM cap for this (T, B) — scan path
+                mean, std = model.encoder.apply(self.params.enc, x)
+        else:
+            mean, std = model.encoder.apply(self.params.enc, x)
         z = reparam(eps, std, mean) + jnp.asarray(model.ic_jitter, jnp.float32)
         z_cm = to_cm(z)
         B = z_cm.shape[0]
