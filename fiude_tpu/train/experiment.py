@@ -72,13 +72,20 @@ def run_experiment(cfg: ExperimentConfig, *,
                    n_samples: Optional[int] = None,
                    validate_each_epoch: bool = False,
                    curriculum: bool = True,
+                   padded_curriculum: bool = False,
                    pre_train_epochs: int = 0,
                    verbose: bool = False,
                    seed: int = 0) -> Dict[str, Any]:
     """Train one config with the weekly growing-horizon curriculum and record
     results (reference run_ode.py:120-170).  ``pre_train_epochs`` enables the
     encoder-only KL warm-start used by the testing.py driver
-    (reference testing.py:135)."""
+    (reference testing.py:135).
+
+    ``padded_curriculum=True`` runs the TPU-friendly masked curriculum
+    (:meth:`Trainer.train_curriculum_padded`): ONE compiled step for the
+    whole schedule instead of one re-trace per stage — identical gradients
+    (tested in test_padded_curriculum.py), much lower compile cost on a
+    remote chip."""
     n_samples = n_samples or cfg.n_samples
     x_tr, y_tr, x_te, y_te, scaler = _build_data(cfg, data_root, synthetic,
                                                  fill_1, seed)
@@ -105,14 +112,21 @@ def run_experiment(cfg: ExperimentConfig, *,
     # (its sweeps use epochs >= 140, run_ode.py:149)
     epochs_per_cycle = (max(int(cfg.epochs / (len(eval_all) - 1)), 1)
                         if curriculum else cfg.epochs)
-    for i in stages:
-        eval_pts = eval_all[:i]
-        time_steps = t[: eval_pts[-1] + 1]
-        trainer.train(loader, time_steps, epochs_per_cycle,
-                      eval_pts, n_samples=n_samples, grad_lim=cfg.grad_lim,
-                      checkpoint=True, validate=validate, verbose=verbose,
-                      norm_file=os.path.join(weights_root, "norms",
-                                             cfg.key + "norms.txt"))
+    norm_file = os.path.join(weights_root, "norms", cfg.key + "norms.txt")
+    if padded_curriculum and curriculum:
+        trainer.train_curriculum_padded(
+            loader, t, np.asarray(eval_all), epochs_per_cycle,
+            n_samples=n_samples, grad_lim=cfg.grad_lim, checkpoint=True,
+            validate=validate, verbose=verbose, norm_file=norm_file)
+    else:
+        for i in stages:
+            eval_pts = eval_all[:i]
+            time_steps = t[: eval_pts[-1] + 1]
+            trainer.train(loader, time_steps, epochs_per_cycle,
+                          eval_pts, n_samples=n_samples,
+                          grad_lim=cfg.grad_lim, checkpoint=True,
+                          validate=validate, verbose=verbose,
+                          norm_file=norm_file)
 
     trainer.save()
     values: Dict[str, Any] = {}

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--work-dir", default=".")
     ap.add_argument("--ledger", default="started.txt")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--padded", action="store_true",
+                    help="masked single-compilation curriculum (one trace "
+                         "for the whole horizon schedule; same gradients)")
     ap.add_argument("--population", action="store_true",
                     help="train same-shape config groups (the `nums` axis) "
                          "as device-parallel populations over a config mesh")
@@ -93,7 +96,8 @@ def main():
             cfg, data_root=args.data_root, synthetic=args.synthetic,
             fill_1=args.fill_1, weights_root=args.work_dir,
             results_file=os.path.join(args.work_dir, args.out),
-            validate_each_epoch=True, verbose=args.verbose)
+            validate_each_epoch=True, verbose=args.verbose,
+            padded_curriculum=args.padded)
         return out["metrics"]
 
     results = run_work_queue(configs, worker, ledger=ledger)

@@ -59,6 +59,21 @@ class TestRunExperiment:
         assert f"{cfg.test_season} {cfg.window_size + 6}" in df.columns
         assert f"skill {cfg.test_season} 7" in df.columns
 
+    def test_padded_curriculum_mode(self, tmp_path):
+        """padded_curriculum=True trains the same schedule through ONE
+        compiled step (Trainer.train_curriculum_padded) and records the
+        same artifact set."""
+        cfg = tiny_cfg(num=2)
+        out = run_experiment(
+            cfg, synthetic=True, weights_root=str(tmp_path),
+            results_file=str(tmp_path / "results_table"),
+            padded_curriculum=True)
+        assert len(out["history"]) == 8  # 4 stages x 2 epochs
+        assert np.isfinite(out["history"][-1]["loss"])
+        assert os.path.exists(str(tmp_path / "weights" / cfg.key) + "enc.npz")
+        df = pd.read_csv(str(tmp_path / "results_table.csv"), index_col=0)
+        assert np.isfinite(df[f"{cfg.test_season} {cfg.window_size + 6}"]).all()
+
     def test_transfer_recipe(self, tmp_path):
         conn_cfg = tiny_cfg(ode_name="CONN", epochs=4)
         run_experiment(conn_cfg, synthetic=True, weights_root=str(tmp_path))
