@@ -16,3 +16,7 @@ from fiude_tpu.ops.stats import (
 )
 from fiude_tpu.ops.adjoint import odeint_adjoint
 from fiude_tpu.ops.pallas_ude import FusedForecaster, fused_trajectory_decode
+from fiude_tpu.ops.pallas_bayes import (
+    FusedBayesForecaster,
+    fused_bayes_trajectory_decode,
+)

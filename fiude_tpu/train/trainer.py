@@ -409,6 +409,15 @@ class Trainer:
         params = self.state.params if self.state is not None else self.params
         fa_w = self.fa_w if fa_w is None else fa_w
         if fused:
+            if self.model.is_bayes:
+                from fiude_tpu.ops.pallas_bayes import FusedBayesForecaster
+                kw = ({"fa_w": float(fa_w)}
+                      if self.model.ode.ode_type == "FaFp" else {})
+                seed_key = (jax.random.fold_in(key, 1)
+                            if key is not None else self.next_key())
+                seed = int(jax.random.randint(seed_key, (), 0, 2**31 - 1))
+                return FusedBayesForecaster(self.model, params, **kw)(
+                    x, t, eps, seed=seed)
             from fiude_tpu.ops.pallas_ude import FusedForecaster
             return FusedForecaster(self.model, params, fa_w=float(fa_w))(
                 x, t, eps)
