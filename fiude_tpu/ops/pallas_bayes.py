@@ -398,31 +398,49 @@ class FusedBayesForecaster:
                                                     model.n_regions)
         self.n_fp_layers = len(params.ode.fp_net)
         self.n_aug_layers = len(params.ode.aug_net) if has_aug else 0
+        self._pipelines = {}
 
-    def __call__(self, x, t, eps, seed: int = 0):
+    def _pipeline(self, T: int, dt: float, tile: int):
+        """One jitted program for the whole serving path (encode -> reparam
+        -> fused kernel -> ensemble transpose).  Without this the prologue
+        runs op-by-op from Python — ~600 ms/call through the axon dispatch
+        tunnel vs ~4 ms compiled."""
+        key = (T, dt, tile)
+        fn = self._pipelines.get(key)
+        if fn is not None:
+            return fn
         from fiude_tpu.models.vae import reparam
         model = self.model
+
+        def pipeline(enc_params, x, eps, seed):
+            n_samples, batch = eps.shape[0], eps.shape[1]
+            mean, std = model.encoder.apply(enc_params, x)
+            z = reparam(eps, std, mean) \
+                + jnp.asarray(model.ic_jitter, jnp.float32)
+            y = fused_bayes_trajectory_decode(
+                to_cm(z), self.mean_weights, self.std_weights,
+                self.dec_w, self.dec_b, seed,
+                T=T, dt=dt, R=model.n_regions, L=model.latent_dim,
+                n_fp_layers=self.n_fp_layers,
+                n_aug_layers=self.n_aug_layers,
+                fa_w=self.fa_w, tile_b=tile, interpret=self.interpret,
+                compute_dtype=self.compute_dtype)
+            y = y.reshape(T, n_samples, batch, model.n_regions)
+            return jnp.transpose(y, (2, 1, 0, 3))
+
+        fn = jax.jit(pipeline)
+        self._pipelines[key] = fn
+        return fn
+
+    def __call__(self, x, t, eps, seed: int = 0):
         t = np.asarray(t)
         dts = np.diff(t)
         assert np.allclose(dts, dts[0], rtol=1e-5), \
             "fused path requires a uniform time grid"
         dt = float(t[1] - t[0])
-        n_samples, batch = eps.shape[0], eps.shape[1]
-
-        mean, std = model.encoder.apply(self.params.enc, x)
-        z = reparam(eps, std, mean) + jnp.asarray(model.ic_jitter, jnp.float32)
-        z_cm = to_cm(z)
-        B = z_cm.shape[0]
+        B = eps.shape[0] * eps.shape[1]
         tile = self.tile_b
         while B % tile != 0:
             tile //= 2
-        y = fused_bayes_trajectory_decode(
-            z_cm, self.mean_weights, self.std_weights, self.dec_w, self.dec_b,
-            jnp.asarray([seed], jnp.int32),
-            T=len(t), dt=dt, R=model.n_regions, L=model.latent_dim,
-            n_fp_layers=self.n_fp_layers, n_aug_layers=self.n_aug_layers,
-            fa_w=self.fa_w, tile_b=tile, interpret=self.interpret,
-            compute_dtype=self.compute_dtype)
-        T = y.shape[0]
-        y = y.reshape(T, n_samples, batch, model.n_regions)
-        return jnp.transpose(y, (2, 1, 0, 3))
+        return self._pipeline(len(t), dt, tile)(
+            self.params.enc, x, eps, jnp.asarray([seed], jnp.int32))

@@ -444,36 +444,57 @@ class FusedForecaster:
                         model.encoder, params.enc, interpret=interpret)
                 except Exception:
                     self.fused_encoder = None  # fall back to XLA encoder
+        self._pipelines = {}
 
-    def __call__(self, x, t, eps):
+    def _pipeline(self, T: int, dt: float, tile: int, use_fused_enc: bool):
+        """One jitted program for the whole serving path.  Leaving the
+        reparam/reshape glue un-jitted costs ~45 ms/call of op-by-op
+        dispatch through the axon tunnel around ~2 ms of kernels."""
+        key = (T, dt, tile, use_fused_enc)
+        fn = self._pipelines.get(key)
+        if callable(fn):
+            return fn
         from fiude_tpu.models.vae import reparam
         model = self.model
+
+        def pipeline(enc_params, x, eps):
+            n_samples, batch = eps.shape[0], eps.shape[1]
+            if use_fused_enc:
+                mean, std = self.fused_encoder(x)
+            else:
+                mean, std = model.encoder.apply(enc_params, x)
+            z = reparam(eps, std, mean) \
+                + jnp.asarray(model.ic_jitter, jnp.float32)
+            y = fused_trajectory_decode(
+                to_cm(z), self.weights, self.dec_w, self.dec_b,
+                T=T, dt=dt, R=model.n_regions, L=model.latent_dim,
+                n_fp_layers=self.n_fp_layers,
+                n_aug_layers=self.n_aug_layers,
+                fa_w=self.fa_w, tile_b=tile, interpret=self.interpret,
+                compute_dtype=self.compute_dtype)
+            y = y.reshape(T, n_samples, batch, model.n_regions)
+            return jnp.transpose(y, (2, 1, 0, 3))
+
+        fn = jax.jit(pipeline)
+        self._pipelines[key] = fn
+        return fn
+
+    def __call__(self, x, t, eps):
         t = np.asarray(t)
         dts = np.diff(t)
         assert np.allclose(dts, dts[0], rtol=1e-5), \
             "fused path requires a uniform time grid"
         dt = float(t[1] - t[0])
-        n_samples, batch = eps.shape[0], eps.shape[1]
-
-        if self.fused_encoder is not None:
-            try:
-                mean, std = self.fused_encoder(x)
-            except ValueError:  # VMEM cap for this (T, B) — scan path
-                mean, std = model.encoder.apply(self.params.enc, x)
-        else:
-            mean, std = model.encoder.apply(self.params.enc, x)
-        z = reparam(eps, std, mean) + jnp.asarray(model.ic_jitter, jnp.float32)
-        z_cm = to_cm(z)
-        B = z_cm.shape[0]
+        B = eps.shape[0] * eps.shape[1]
         tile = self.tile_b
         while B % tile != 0:
             tile //= 2
-        y = fused_trajectory_decode(
-            z_cm, self.weights, self.dec_w, self.dec_b,
-            T=len(t), dt=dt, R=model.n_regions, L=model.latent_dim,
-            n_fp_layers=self.n_fp_layers, n_aug_layers=self.n_aug_layers,
-            fa_w=self.fa_w, tile_b=tile, interpret=self.interpret,
-            compute_dtype=self.compute_dtype)
-        T = y.shape[0]
-        y = y.reshape(T, n_samples, batch, model.n_regions)
-        return jnp.transpose(y, (2, 1, 0, 3))
+        args = (self.params.enc, x, eps)
+        fused_key = (len(t), dt, tile, True)
+        if self.fused_encoder is not None \
+                and self._pipelines.get(fused_key) is not False:
+            try:  # VMEM cap for this (T, B) raises at trace time — fall back
+                return self._pipeline(*fused_key)(*args)
+            except ValueError:
+                self._pipelines[fused_key] = False  # don't re-trace per call
+        return self._pipeline(len(t), dt, tile, False)(*args)
