@@ -45,32 +45,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fiude_tpu.ops.pallas_ude import (
-    _build_plan, _elu, cm_permute, cm_permute_decoder, to_cm,
+    _build_plan, _elu, cm_permute, cm_permute_aug_only, cm_permute_decoder,
+    to_cm,
 )
 
 
-def bayes_cm_weights(params, R: int, L: int, *, has_aug: bool):
+def bayes_cm_weights(params, R: int, L: int, *, has_aug: bool,
+                     aug_only: bool = False):
     """Split Bayes variational params into (means, |stds|) flat CM-permuted
     weight lists, each shaped exactly like the deterministic kernel's
     ``cm_permute`` output.  Permuting mean and std by the same index maps
-    preserves ``perm(mean + z*|std|) == perm(mean) + perm(z)*perm(|std|)``."""
+    preserves ``perm(mean + z*|std|) == perm(mean) + perm(z)*perm(|std|)``.
+    ``aug_only`` handles the Fa/SONNb family (no mechanistic net)."""
     from fiude_tpu.models.nn import Dense
 
     def dense_net(net, take):
         return tuple(Dense(w=take(l)[0], b=take(l)[1]) for l in net)
 
     def wrap(take):
-        ns = SimpleNamespace(
-            fp_net=dense_net(params.fp_net, take) if hasattr(params, "fp_net")
-            else None)
-        if has_aug:
+        ns = SimpleNamespace()
+        if hasattr(params, "fp_net"):
+            ns.fp_net = dense_net(params.fp_net, take)
+        if aug_only or has_aug:
             ns.aug_net = dense_net(params.aug_net, take)
         return ns
 
     means = wrap(lambda l: (l.w_mean, l.b_mean))
     stds = wrap(lambda l: (jnp.abs(l.w_std), jnp.abs(l.b_std)))
-    mean_flat = tuple(cm_permute(means, R, L, has_aug=has_aug))
-    std_flat = tuple(cm_permute(stds, R, L, has_aug=has_aug))
+    if aug_only:
+        mean_flat = tuple(cm_permute_aug_only(means, R, L))
+        std_flat = tuple(cm_permute_aug_only(stds, R, L))
+    else:
+        mean_flat = tuple(cm_permute(means, R, L, has_aug=has_aug))
+        std_flat = tuple(cm_permute(stds, R, L, has_aug=has_aug))
     return mean_flat, std_flat
 
 
@@ -95,7 +102,7 @@ def _kernel_normal(shape):
 
 def _make_bayes_kernel(T: int, dt: float, R: int, plan, fa_w: float,
                        tile_b: int, tail_w: int, n_noise: int,
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32, mechanistic: bool = True):
     """n_noise = 0 -> on-core PRNG mode (seed scalar input);
     n_noise > 0 -> injected-noise mode (one (n_evals, in, out) ref per
     weight array, in materialization order)."""
@@ -167,15 +174,18 @@ def _make_bayes_kernel(T: int, dt: float, R: int, plan, fa_w: float,
                     fa_in = fa if fa is not None else h
                     fa = dot(_elu(fa_in) if op.act_a else fa_in, wk) + bk
 
-            rates = jnp.abs(h)
-            beta, gam = rates[:, :R], rates[:, R:]
-            S, I = zh[:, :R], zh[:, R: 2 * R]
-            plus_i = beta * S * I
-            minus_i = gam * I
-            field = jnp.concatenate(
-                [-plus_i, plus_i - minus_i, minus_i], axis=-1)
-            if fa is not None:
-                field = field + fa_w * fa
+            if mechanistic:
+                rates = jnp.abs(h)
+                beta, gam = rates[:, :R], rates[:, R:]
+                S, I = zh[:, :R], zh[:, R: 2 * R]
+                plus_i = beta * S * I
+                minus_i = gam * I
+                field = jnp.concatenate(
+                    [-plus_i, plus_i - minus_i, minus_i], axis=-1)
+                if fa is not None:
+                    field = field + fa_w * fa
+            else:  # Bayes_Fa / SONNb: the augmentation is the whole field
+                field = fa if fa is not None else h
             out_of_range = (zh > 2.0) | (zh < -1.0)
             return jnp.where(out_of_range, 0.0, field)
 
@@ -258,10 +268,10 @@ def fused_bayes_trajectory_decode(
     assert B % tile_b == 0, f"batch {B} not divisible by tile {tile_b}"
 
     def packed_l0(ws):
-        if n_aug_layers > 0:
+        if n_fp_layers > 0 and n_aug_layers > 0:
             w0 = jnp.concatenate([ws[0], ws[2 * n_fp_layers]], axis=1)
             b0 = jnp.concatenate([ws[1], ws[2 * n_fp_layers + 1]], axis=1)
-        else:
+        else:  # single-net families (Fp-only or aug-only) own slot 0
             w0, b0 = ws[0], ws[1]
         return w0, b0
 
@@ -302,7 +312,8 @@ def fused_bayes_trajectory_decode(
 
     kernel = _make_bayes_kernel(
         T, dt, R, plan, fa_w, tile_b, tail_w, n_noise,
-        compute_dtype=jnp.dtype(compute_dtype))
+        compute_dtype=jnp.dtype(compute_dtype),
+        mechanistic=n_fp_layers > 0)
 
     full = lambda *_: tuple([0] * 2)
     full3 = lambda *_: (0, 0, 0)
@@ -374,10 +385,13 @@ class FusedBayesForecaster:
     def __init__(self, model, params, *, fa_w: float = 1.0,
                  tile_b: int = 1024, interpret: Optional[bool] = None,
                  compute_dtype: str = "float32"):
-        from fiude_tpu.models.bayes import BayesSIRRates, BayesUDE
-        if not isinstance(model.ode, (BayesSIRRates, BayesUDE)):
-            raise TypeError(
-                "fused Bayes path supports BayesSIRRates/BayesUDE only")
+        from fiude_tpu.models.bayes import (
+            BayesNeuralAug, BayesSIRRates, BayesUDE,
+        )
+        if not isinstance(model.ode,
+                          (BayesSIRRates, BayesUDE, BayesNeuralAug)):
+            raise TypeError("fused Bayes path supports BayesSIRRates/"
+                            "BayesUDE/BayesNeuralAug only")
         self.model = model
         self.params = params
         self.fa_w = float(fa_w)
@@ -391,13 +405,16 @@ class FusedBayesForecaster:
             on_tpu = jax.devices()[0].platform == "tpu"
             interpret = False if on_tpu else pltpu.InterpretParams()
         self.interpret = interpret
+        aug_only = isinstance(model.ode, BayesNeuralAug)
         has_aug = isinstance(model.ode, BayesUDE)
         self.mean_weights, self.std_weights = bayes_cm_weights(
-            params.ode, model.n_regions, model.latent_dim, has_aug=has_aug)
+            params.ode, model.n_regions, model.latent_dim,
+            has_aug=has_aug, aug_only=aug_only)
         self.dec_w, self.dec_b = cm_permute_decoder(params.dec,
                                                     model.n_regions)
-        self.n_fp_layers = len(params.ode.fp_net)
-        self.n_aug_layers = len(params.ode.aug_net) if has_aug else 0
+        self.n_fp_layers = 0 if aug_only else len(params.ode.fp_net)
+        self.n_aug_layers = (len(params.ode.aug_net)
+                             if (has_aug or aug_only) else 0)
         self._pipelines = {}
 
     def _pipeline(self, T: int, dt: float, tile: int):

@@ -45,39 +45,46 @@ def _cm_input_perm(R: int, L: int) -> np.ndarray:
     return perm
 
 
+def _cm_permute_net(net, head: str, R: int, L: int):
+    """Permute one MLP into compartment-major layout: first-layer rows
+    input-permuted; head output reordered to [beta(R) | gamma(R)]
+    (``head='rates'``) or [c0(R) | c1(R) | c2(R)] (``head='aug'``)."""
+    in_perm = _cm_input_perm(R, L)
+    arrs = []
+    for li, layer in enumerate(net):
+        w = np.asarray(layer.w, np.float32)
+        b = np.asarray(layer.b, np.float32)
+        if li == 0:
+            w = w[in_perm]
+        if li == len(net) - 1:
+            k = 2 if head == "rates" else 3
+            out_perm = np.empty(k * R, dtype=np.int64)
+            for kk in range(k):
+                for r in range(R):
+                    out_perm[kk * R + r] = r * k + kk
+            w = w[:, out_perm]
+            b = b[out_perm]
+        arrs.append(jnp.asarray(w))
+        arrs.append(jnp.asarray(b.reshape(1, -1)))
+    return arrs
+
+
 def cm_permute(params, R: int, L: int, *, has_aug: bool):
     """Permute UDE/SIRRates params into the kernel's compartment-major layout.
 
     Returns a flat list of 2-D float32 arrays:
-    [fp_w0, fp_b0, ..., fp_wk, fp_bk] (+ aug list) — first-layer rows input-
-    permuted; rate head output reordered to [beta(R) | gamma(R)]; aug head
-    output to [c0(R) | c1(R) | c2(R)].
+    [fp_w0, fp_b0, ..., fp_wk, fp_bk] (+ aug list).
     """
-    in_perm = _cm_input_perm(R, L)
-
-    def permute_net(net, head: str):
-        arrs = []
-        for li, layer in enumerate(net):
-            w = np.asarray(layer.w, np.float32)
-            b = np.asarray(layer.b, np.float32)
-            if li == 0:
-                w = w[in_perm]
-            if li == len(net) - 1:
-                k = 2 if head == "rates" else 3
-                out_perm = np.empty(k * R, dtype=np.int64)
-                for kk in range(k):
-                    for r in range(R):
-                        out_perm[kk * R + r] = r * k + kk
-                w = w[:, out_perm]
-                b = b[out_perm]
-            arrs.append(jnp.asarray(w))
-            arrs.append(jnp.asarray(b.reshape(1, -1)))
-        return arrs
-
-    flat = permute_net(params.fp_net, "rates")
+    flat = _cm_permute_net(params.fp_net, "rates", R, L)
     if has_aug:
-        flat += permute_net(params.aug_net, "aug")
+        flat += _cm_permute_net(params.aug_net, "aug", R, L)
     return flat
+
+
+def cm_permute_aug_only(params, R: int, L: int):
+    """Permute a NeuralAug (Fa / SONN) net: the free augmentation is the
+    whole field, so its MLP takes the L0 slot and the 'aug' head ordering."""
+    return _cm_permute_net(params.aug_net, "aug", R, L)
 
 
 def cm_permute_decoder(dec_params, R: int):
@@ -142,10 +149,11 @@ def _build_plan(weights, n_fp_layers: int, n_aug_layers: int):
              weights[2 * n_fp_layers + 2 * i + 1])
             for i in range(1, n_aug_layers)] if n_aug_layers else [])
 
-    if aug and len(aug) > len(fp):
+    if aug and fp and len(aug) > len(fp):
         raise NotImplementedError(
             "fused kernel requires the fp net at least as deep as the aug "
-            "net (true of every reference architecture)")
+            "net (true of every reference architecture); the aug-only "
+            "(Fa/SONN) mode passes n_fp_layers=0 instead")
 
     ops, arrs = [], []
     for j in range(max(len(fp), len(aug))):
@@ -174,7 +182,8 @@ def _build_plan(weights, n_fp_layers: int, n_aug_layers: int):
 
 
 def _make_kernel(T: int, dt: float, R: int, L: int, plan, fa_w: float,
-                 tile_b: int, compute_dtype=jnp.float32):
+                 tile_b: int, compute_dtype=jnp.float32,
+                 mechanistic: bool = True):
     has_tail = L > 3
     cd = compute_dtype
 
@@ -214,15 +223,20 @@ def _make_kernel(T: int, dt: float, R: int, L: int, plan, fa_w: float,
                 fa_in = fa if fa is not None else h
                 fa = dot(_elu(fa_in) if op.act_a else fa_in, w) + b[:]
 
-        rates = jnp.abs(h)
-        beta, gam = rates[:, :R], rates[:, R:]
-        S, I = zh[:, :R], zh[:, R: 2 * R]
-        plus_i = beta * S * I
-        minus_i = gam * I
-        field = jnp.concatenate(
-            [-plus_i, plus_i - minus_i, minus_i], axis=-1)   # (tb, 3R)
-        if fa is not None:
-            field = field + fa_w * fa
+        if mechanistic:
+            rates = jnp.abs(h)
+            beta, gam = rates[:, :R], rates[:, R:]
+            S, I = zh[:, :R], zh[:, R: 2 * R]
+            plus_i = beta * S * I
+            minus_i = gam * I
+            field = jnp.concatenate(
+                [-plus_i, plus_i - minus_i, minus_i], axis=-1)   # (tb, 3R)
+            if fa is not None:
+                field = field + fa_w * fa
+        else:
+            # Fa/SONN: the free augmentation IS the field (lib/models.py:
+            # 177-188) — no SIR term, no fa_w ramp
+            field = fa if fa is not None else h
         out_of_range = (zh > 2.0) | (zh < -1.0)
         return jnp.where(out_of_range, 0.0, field)
 
@@ -318,8 +332,9 @@ def fused_trajectory_decode(
     assert B % tile_b == 0, f"batch {B} not divisible by tile {tile_b}"
 
     # First layers of both MLPs consume the same input — run them as one
-    # full-width matmul over column-concatenated weights.
-    if n_aug_layers > 0:
+    # full-width matmul over column-concatenated weights.  With
+    # n_fp_layers == 0 (Fa/SONN aug-only mode) the aug net owns slot 0.
+    if n_fp_layers > 0 and n_aug_layers > 0:
         w0_cat = jnp.concatenate([weights[0], weights[2 * n_fp_layers]],
                                  axis=1)
         b0_cat = jnp.concatenate([weights[1], weights[2 * n_fp_layers + 1]],
@@ -351,7 +366,8 @@ def fused_trajectory_decode(
     plan, arrs = _build_plan(weights, n_fp_layers, n_aug_layers)
 
     kernel = _make_kernel(T, dt, R, L, plan, fa_w,
-                          tile_b, compute_dtype=jnp.dtype(compute_dtype))
+                          tile_b, compute_dtype=jnp.dtype(compute_dtype),
+                          mechanistic=n_fp_layers > 0)
 
     full = lambda *_: (0, 0)
     in_specs = [
@@ -414,9 +430,10 @@ class FusedForecaster:
     def __init__(self, model, params, *, fa_w: float = 1.0,
                  tile_b: int = 1024, interpret: Optional[bool] = None,
                  compute_dtype: str = "float32", fuse_encoder: bool = True):
-        from fiude_tpu.models.rhs import SIRRates, UDE
-        if not isinstance(model.ode, (SIRRates, UDE)):
-            raise TypeError("fused path supports SIRRates/UDE RHS only")
+        from fiude_tpu.models.rhs import NeuralAug, SIRRates, UDE
+        if not isinstance(model.ode, (SIRRates, UDE, NeuralAug)):
+            raise TypeError(
+                "fused path supports SIRRates/UDE/NeuralAug RHS only")
         self.model = model
         self.params = params
         self.fa_w = float(fa_w)
@@ -425,13 +442,20 @@ class FusedForecaster:
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
-        has_aug = isinstance(model.ode, UDE)
-        self.weights = tuple(cm_permute(params.ode, model.n_regions,
-                                        model.latent_dim, has_aug=has_aug))
+        if isinstance(model.ode, NeuralAug):
+            self.weights = tuple(cm_permute_aug_only(
+                params.ode, model.n_regions, model.latent_dim))
+            self.n_fp_layers = 0
+            self.n_aug_layers = len(params.ode.aug_net)
+        else:
+            has_aug = isinstance(model.ode, UDE)
+            self.weights = tuple(cm_permute(params.ode, model.n_regions,
+                                            model.latent_dim,
+                                            has_aug=has_aug))
+            self.n_fp_layers = len(params.ode.fp_net)
+            self.n_aug_layers = len(params.ode.aug_net) if has_aug else 0
         self.dec_w, self.dec_b = cm_permute_decoder(params.dec,
                                                     model.n_regions)
-        self.n_fp_layers = len(params.ode.fp_net)
-        self.n_aug_layers = len(params.ode.aug_net) if has_aug else 0
         # optional fused encoder kernel: the whole serving path becomes two
         # Pallas launches (encode, trajectory+decode)
         self.fused_encoder = None

@@ -175,7 +175,8 @@ class TestInjectedNoiseOracle:
 
 
 class TestForecasterZeroStd:
-    @pytest.mark.parametrize("ode_name", ["Bayes_FaFp", "Bayes_Fp"])
+    @pytest.mark.parametrize("ode_name",
+                             ["Bayes_FaFp", "Bayes_Fp", "Bayes_Fa"])
     def test_matches_xla_bayes_path(self, ode_name):
         model = _model(ode_name)
         params = model.init(jax.random.PRNGKey(2))
@@ -187,9 +188,11 @@ class TestForecasterZeroStd:
                                     b_std=jnp.zeros_like(l.b_std))
                          for l in net)
 
-        ode = params.ode._replace(fp_net=zero_std(params.ode.fp_net))
-        if hasattr(params.ode, "aug_net"):
-            ode = ode._replace(aug_net=zero_std(params.ode.aug_net))
+        ode = params.ode
+        if hasattr(ode, "fp_net"):
+            ode = ode._replace(fp_net=zero_std(ode.fp_net))
+        if hasattr(ode, "aug_net"):
+            ode = ode._replace(aug_net=zero_std(ode.aug_net))
         params = params._replace(ode=ode)
 
         batch, n_samples, window = 4, 3, 10

@@ -56,7 +56,7 @@ class TestLayout:
 
 
 class TestFusedForward:
-    @pytest.mark.parametrize("ode_name", ["Fp", "FaFp"])
+    @pytest.mark.parametrize("ode_name", ["Fp", "FaFp", "Fa"])
     def test_matches_scan_path(self, ode_name):
         model = make_model(ode_name)
         params = model.init(jax.random.PRNGKey(1))
