@@ -89,6 +89,9 @@ class UDEForecaster:
     checkpoint_solver: bool = False
     solver_unroll: int = 1  # scan unroll factor (TPU pipelining knob)
     ic_jitter: float = 1e-5
+    # run the training-path trajectory (forward AND backward) as fused
+    # Pallas kernels (ops/pallas_train.py); rk4 + non-Bayes only
+    fused_train: bool = False
 
     @classmethod
     def build(cls, *, n_regions: int, latent_dim: int, n_qs: int,
@@ -258,6 +261,31 @@ class UDEForecaster:
             # curriculum time_mask, so kl_p / fa_norm / reg_loss configs
             # work on every solver.
             aux = jax.vmap(lambda ti, yi: rhs(ti, yi)[1])(t[1:], latent[1:])
+        elif (self.fused_train and self.method == "rk4"
+              and not self.is_bayes and self.substeps == 1):
+            # fused Pallas trajectory with a hand-written backward kernel —
+            # identical contract to odeint_grid (trajectory + stage-ordered
+            # aux, all differentiable)
+            from fiude_tpu.ops.pallas_train import (
+                aux_to_model_layout, cm_permute_traceable,
+                fused_train_trajectory, traj_to_model_layout,
+            )
+            from fiude_tpu.ops.pallas_ude import to_cm
+            has_fp = hasattr(params.ode, "fp_net")
+            has_aug = hasattr(params.ode, "aug_net")
+            flat = cm_permute_traceable(
+                params.ode, self.n_regions, self.latent_dim,
+                has_fp=has_fp, has_aug=has_aug)
+            z_cm = to_cm(z)
+            traj_h, rates_cm, fa_cm = fused_train_trajectory(
+                flat, z_cm, fa_w, t[1:] - t[:-1],
+                T=t.shape[0], R=self.n_regions, L=self.latent_dim,
+                n_fp_layers=len(params.ode.fp_net) if has_fp else 0,
+                n_aug_layers=len(params.ode.aug_net) if has_aug else 0)
+            latent = traj_to_model_layout(traj_h, z_cm, self.n_regions,
+                                          self.latent_dim)
+            aux = aux_to_model_layout(rates_cm, fa_cm, t.shape[0],
+                                      self.n_regions) or None
         else:
             latent, aux = odeint_grid(
                 self.rhs_fn(params.ode, fa_w), z, t,

@@ -20,3 +20,7 @@ from fiude_tpu.ops.pallas_bayes import (
     FusedBayesForecaster,
     fused_bayes_trajectory_decode,
 )
+from fiude_tpu.ops.pallas_train import (
+    cm_permute_traceable,
+    fused_train_trajectory,
+)
