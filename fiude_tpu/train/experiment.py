@@ -50,8 +50,9 @@ def _build_data(cfg: ExperimentConfig, data_root: Optional[str],
 
 
 def build_trainer(cfg: ExperimentConfig, *, weights_root: str = ".",
-                  seed: int = 0) -> Trainer:
-    model = UDEForecaster.build(**cfg.model_kwargs())
+                  seed: int = 0, fused_train: bool = False) -> Trainer:
+    model = UDEForecaster.build(**cfg.model_kwargs(),
+                                fused_train=fused_train)
     return Trainer(
         model,
         loss_cfg=TRAINING_INFO[cfg.ode_name],
@@ -74,6 +75,7 @@ def run_experiment(cfg: ExperimentConfig, *,
                    curriculum: bool = True,
                    padded_curriculum: bool = False,
                    pre_train_epochs: int = 0,
+                   fused_train: bool = False,
                    verbose: bool = False,
                    seed: int = 0) -> Dict[str, Any]:
     """Train one config with the weekly growing-horizon curriculum and record
@@ -85,14 +87,21 @@ def run_experiment(cfg: ExperimentConfig, *,
     (:meth:`Trainer.train_curriculum_padded`): ONE compiled step for the
     whole schedule instead of one re-trace per stage — identical gradients
     (tested in test_padded_curriculum.py), much lower compile cost on a
-    remote chip."""
+    remote chip.
+
+    ``fused_train=True`` backprops through the fused Pallas trajectory
+    kernels (ops/pallas_train.py) instead of the XLA scan — ~2x faster
+    steps on the daily 85-point grid of the ``fill_1`` no-interpolation
+    mode; gradient-identical (test_pallas_train.py).  Bayes/adaptive
+    configs fall back to the scan path automatically."""
     n_samples = n_samples or cfg.n_samples
     x_tr, y_tr, x_te, y_te, scaler = _build_data(cfg, data_root, synthetic,
                                                  fill_1, seed)
     loader = ArrayLoader(x_tr, y_tr, batch_size=cfg.batch_size, seed=seed)
 
     t = jnp.arange(cfg.window_size + cfg.gamma + 1, dtype=jnp.float32) / 7.0
-    trainer = build_trainer(cfg, weights_root=weights_root, seed=seed)
+    trainer = build_trainer(cfg, weights_root=weights_root, seed=seed,
+                            fused_train=fused_train)
     trainer.setup_training(lr=cfg.lr)
     if pre_train_epochs:
         trainer.pre_train(loader, epochs=pre_train_epochs, lr=cfg.lr)

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--fill-1", action="store_true",
                     help="no-interpolation mode: weekly-only -1-masked targets")
+    ap.add_argument("--fused-train", action="store_true",
+                    help="backprop through the fused Pallas trajectory "
+                    "kernels (~2x steps on the daily fill-1 grid; "
+                    "rk4/non-Bayes only, scan fallback otherwise)")
     ap.add_argument("--regions", nargs="+", default=["US", "hhs", "state"])
     ap.add_argument("--models", nargs="+", default=["CONN", "UONN"])
     ap.add_argument("--seasons", nargs="+", type=int,
@@ -97,7 +101,7 @@ def main():
             fill_1=args.fill_1, weights_root=args.work_dir,
             results_file=os.path.join(args.work_dir, args.out),
             validate_each_epoch=True, verbose=args.verbose,
-            padded_curriculum=args.padded)
+            padded_curriculum=args.padded, fused_train=args.fused_train)
         return out["metrics"]
 
     results = run_work_queue(configs, worker, ledger=ledger)

@@ -74,6 +74,23 @@ class TestRunExperiment:
         df = pd.read_csv(str(tmp_path / "results_table.csv"), index_col=0)
         assert np.isfinite(df[f"{cfg.test_season} {cfg.window_size + 6}"]).all()
 
+    def test_fused_train_mode(self, tmp_path):
+        """fused_train=True routes training backprop through the Pallas
+        trajectory kernels (interpret mode on CPU) and stays numerically in
+        step with the scan path at the experiment level."""
+        out_scan = run_experiment(
+            tiny_cfg(num=3), synthetic=True, weights_root=str(tmp_path / "a"))
+        out_fused = run_experiment(
+            tiny_cfg(num=3), synthetic=True, weights_root=str(tmp_path / "b"),
+            fused_train=True)
+        assert len(out_fused["history"]) == len(out_scan["history"])
+        l_scan = out_scan["history"][0]["loss"]
+        l_fused = out_fused["history"][0]["loss"]
+        # identical seeds; first-epoch losses differ only by kernel-vs-scan
+        # float ordering
+        assert l_fused == pytest.approx(l_scan, rel=1e-3)
+        assert np.isfinite(out_fused["history"][-1]["loss"])
+
     def test_transfer_recipe(self, tmp_path):
         conn_cfg = tiny_cfg(ode_name="CONN", epochs=4)
         run_experiment(conn_cfg, synthetic=True, weights_root=str(tmp_path))
