@@ -316,18 +316,36 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         for ref in gw_refs:
             ref[...] = jnp.zeros(ref.shape, jnp.float32)
 
-        def fetch_row(hbm, scr, sem, idx):
-            cp = pltpu.make_async_copy(
-                hbm.at[idx, pl.ds(tile0, tile_b), :], scr, sem)
-            cp.start()
-            cp.wait()
+        # Double-buffered reverse-sweep prefetch: while step i computes
+        # (4 RHS re-evals + VJPs, the long pole), step i-1's four HBM
+        # streams (z, g_traj, g_rates, g_fa) are already in flight into the
+        # other slot — the serial start->wait fetch pattern costs ~2,700
+        # exposed DMA latencies per trajectory otherwise.
+        def row_copy(hbm, scr, sem, idx, slot):
+            return pltpu.make_async_copy(
+                hbm.at[idx, pl.ds(tile0, tile_b), :], scr.at[slot],
+                sem.at[slot])
 
-        def fetch_aux(hbm, scr, sem, step_i):
-            cp = pltpu.make_async_copy(
+        def aux_copy(hbm, scr, sem, step_i, slot):
+            return pltpu.make_async_copy(
                 hbm.at[pl.ds(4 * step_i, 4), pl.ds(tile0, tile_b), :],
-                scr, sem)
-            cp.start()
-            cp.wait()
+                scr.at[slot], sem.at[slot])
+
+        def start_step(i, slot):
+            row_copy(traj_hbm, scr_z, sem_z, i, slot).start()
+            row_copy(gtraj_hbm, scr_g, sem_g, i, slot).start()
+            if mechanistic:
+                aux_copy(grates_hbm, scr_gr, sem_gr, i, slot).start()
+            if has_aug:
+                aux_copy(gfa_hbm, scr_gf, sem_gf, i, slot).start()
+
+        def wait_step(i, slot):
+            row_copy(traj_hbm, scr_z, sem_z, i, slot).wait()
+            row_copy(gtraj_hbm, scr_g, sem_g, i, slot).wait()
+            if mechanistic:
+                aux_copy(grates_hbm, scr_gr, sem_gr, i, slot).wait()
+            if has_aug:
+                aux_copy(gfa_hbm, scr_gf, sem_gf, i, slot).wait()
 
         def dotT(a, b):
             """a^T @ b: contract the batch (row) dim of both operands."""
@@ -448,20 +466,21 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
 
         def step_bwd(j, gz):
             i = T - 2 - j
+            slot = jax.lax.rem(j, 2)
             dt = dts_ref[i]
-            fetch_row(traj_hbm, scr_z, sem_z, i)
-            fetch_row(gtraj_hbm, scr_g, sem_g, i)
-            zh = scr_z[:][:, : 3 * R]
-            if mechanistic:
-                fetch_aux(grates_hbm, scr_gr, sem_gr, i)
-            if has_aug:
-                fetch_aux(gfa_hbm, scr_gf, sem_gf, i)
+            wait_step(i, slot)
+
+            @pl.when(i >= 1)
+            def _():
+                start_step(i - 1, 1 - slot)
+
+            zh = scr_z[slot][:, : 3 * R]
 
             def g_r(s):
-                return scr_gr[s][:, : 2 * R] if mechanistic else None
+                return scr_gr[slot, s][:, : 2 * R] if mechanistic else None
 
             def g_f(s):
-                return scr_gf[s][:, : 3 * R] if has_aug else None
+                return scr_gf[slot, s][:, : 3 * R] if has_aug else None
 
             # recompute the stage states from the stored z_i
             k1, _, _ = _rhs_forward(zh, c_tail, arrs, w0h, plan, R, fa_w,
@@ -498,10 +517,15 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
             gu1 = rhs_vjp(zh, gk1, g_r(0), g_f(0))
             gz_new = gz_new + gu1
 
-            return gz_new + scr_g[:][:, : 3 * R]
+            return gz_new + scr_g[slot][:, : 3 * R]
 
-        fetch_row(gtraj_hbm, scr_g, sem_g, T - 1)
-        gz = scr_g[:][:, : 3 * R]
+        # last-point cotangent into slot 1 (step 0 computes out of slot 0),
+        # with the first step's streams already in flight behind it
+        cp_last = row_copy(gtraj_hbm, scr_g, sem_g, T - 1, 1)
+        cp_last.start()
+        start_step(T - 2, 0)
+        cp_last.wait()
+        gz = scr_g[1][:, : 3 * R]
         gz = jax.lax.fori_loop(0, T - 1, step_bwd, gz)
         gz0_ref[...] = gz
 
@@ -631,16 +655,16 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
                                           lambda i: (i, 0, 0),
                                           memory_space=pltpu.VMEM))
 
-        scratch = [pltpu.VMEM((tile_bwd, P), jnp.float32),
-                   pltpu.SemaphoreType.DMA(()),
-                   pltpu.VMEM((tile_bwd, P), jnp.float32),
-                   pltpu.SemaphoreType.DMA(())]
+        scratch = [pltpu.VMEM((2, tile_bwd, P), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.VMEM((2, tile_bwd, P), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
         if mechanistic:
-            scratch += [pltpu.VMEM((4, tile_bwd, P2), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())]
+            scratch += [pltpu.VMEM((2, 4, tile_bwd, P2), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))]
         if has_aug:
-            scratch += [pltpu.VMEM((4, tile_bwd, P3), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())]
+            scratch += [pltpu.VMEM((2, 4, tile_bwd, P3), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))]
 
         outs = pl.pallas_call(
             kernel,
