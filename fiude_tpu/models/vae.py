@@ -207,6 +207,19 @@ class UDEForecaster:
             return lambda t, y, k: self.ode.apply(ode_params, t, y, k)
         return lambda t, y: self.ode.apply(ode_params, t, y)
 
+    def _encode(self, params: "UDEForecasterParams", x):
+        """Encoder forward; with ``fused_train`` and a Back-GRU encoder the
+        fused Pallas fwd+BPTT pair (ops/pallas_gru_train.py) replaces the
+        XLA scan — the encoder dominates the weekly-grid training step once
+        the trajectory solve is fused (7.4 ms of a ~13 ms scan-path step)."""
+        from fiude_tpu.models.encoders import BackGRUEncoder
+        if self.fused_train and isinstance(self.encoder, BackGRUEncoder):
+            from fiude_tpu.ops.pallas_gru_train import (
+                fused_backgru_train_apply,
+            )
+            return fused_backgru_train_apply(self.encoder, params.enc, x)
+        return self.encoder.apply(params.enc, x)
+
     def apply(self, params: "UDEForecasterParams", x, t, eps, *,
               fa_w=1.0, rng=None) -> Tuple[jnp.ndarray, "ForwardExtras"]:
         """Forward pass.
@@ -225,7 +238,7 @@ class UDEForecaster:
           extras: encoder stats, latent trajectory, stage-ordered RHS aux.
         """
         n_samples, batch = eps.shape[0], eps.shape[1]
-        enc_out = self.encoder.apply(params.enc, x)
+        enc_out = self._encode(params, x)
         if self.uncertainty:
             mean, std = enc_out
             z = reparam(eps, std, mean, uncertainty=True)

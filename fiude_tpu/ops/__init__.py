@@ -20,6 +20,9 @@ from fiude_tpu.ops.pallas_bayes import (
     FusedBayesForecaster,
     fused_bayes_trajectory_decode,
 )
+from fiude_tpu.ops.pallas_gru_train import (
+    fused_backgru_train_apply,
+)
 from fiude_tpu.ops.pallas_train import (
     cm_permute_traceable,
     fused_train_trajectory,
