@@ -106,10 +106,14 @@ def main():
     solves_per_sec = best
 
     # -- training-step throughput (same run, reported on stderr) -----------
-    train_ms = bench_train_step(model, params)
+    # measured on the fused training path (ops/pallas_train.py +
+    # ops/pallas_gru_train.py) — gradient-parity-pinned vs the scan path
+    import dataclasses
+    train_ms = bench_train_step(
+        dataclasses.replace(model, fused_train=True), params)
     print(f"train_step: {train_ms:.2f} ms/step "
           f"({1000.0 / train_ms:.0f} steps/s, state UONN, 64x32 ensemble, "
-          "8 weekly RK4 steps, backprop through the solver)",
+          "8 weekly RK4 steps, fused fwd+bwd backprop through the solver)",
           file=sys.stderr, flush=True)
 
     baseline = 1000.0  # north-star target (BASELINE.json): >=1000 on v5e-8
