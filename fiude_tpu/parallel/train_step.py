@@ -38,11 +38,16 @@ def make_sharded_train_step(
     len_tr: int = 130,
     prior_params: Optional[Dict[str, Any]] = None,
     donate: bool = True,
+    example_state: Optional["TrainState"] = None,
 ):
     """Build a jitted, mesh-sharded training step.
 
-    Shardings: state replicated; x/y sharded on batch -> ``data``; eps sharded
-    (``sample``, ``data``) on its first two axes; t replicated.
+    Shardings: x/y sharded on batch -> ``data``; eps sharded (``sample``,
+    ``data``) on its first two axes; t replicated.  The state is replicated
+    unless the mesh has a ``model`` axis, in which case weight matrices (and
+    their optimizer moments) shard Megatron-style over it
+    (:mod:`fiude_tpu.parallel.tp`) — pass ``example_state`` so the state's
+    sharding tree can be derived.
 
     Returns ``step(state, x, y, t, eps, fa_w, epoch, grad_lim) ->
     (state, metrics)``.
@@ -56,6 +61,15 @@ def make_sharded_train_step(
     repl = NamedSharding(mesh, P())
     x_shard = NamedSharding(mesh, P(data_axis))
     eps_shard = NamedSharding(mesh, P(sample_axis, data_axis))
+
+    state_shard: Any = repl
+    if "model" in axis_names:
+        if example_state is None:
+            raise ValueError(
+                "mesh has a 'model' axis: pass example_state so the "
+                "tensor-parallel state sharding tree can be derived")
+        from fiude_tpu.parallel.tp import tp_shardings
+        state_shard = tp_shardings(example_state, mesh)
 
     def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim):
         if loss_cfg.anneal:
@@ -89,9 +103,9 @@ def make_sharded_train_step(
 
     return jax.jit(
         step,
-        in_shardings=(repl, x_shard, x_shard, repl, eps_shard,
+        in_shardings=(state_shard, x_shard, x_shard, repl, eps_shard,
                       repl, repl, repl),
-        out_shardings=(repl, repl),
+        out_shardings=(state_shard, repl),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -79,6 +79,49 @@ class TestShardedStep:
             state1.params, state_ref.params)
         assert max(jax.tree.leaves(diff)) < 1e-5
 
+    def test_tp_step_matches_single_device(self):
+        """3-D mesh (sample x data x model): weight matrices shard
+        Megatron-style over the model axis; results match the replicated
+        single-device step (GSPMD inserts the collectives)."""
+        from fiude_tpu.parallel import tp_shardings
+
+        model = small_model()
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        state0 = TrainState(params, opt.init(params),
+                            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        x, y, t, eps = make_inputs()
+        args = (x, y, t, eps, jnp.asarray(1.0), jnp.asarray(0),
+                jnp.asarray(5000.0))
+
+        mesh = make_mesh([("sample", 2), ("data", 2), ("model", 2)])
+        step = make_sharded_train_step(model, TRAINING_INFO["UONN"], opt,
+                                       mesh, donate=False,
+                                       example_state=state0)
+        state1, metrics = step(state0, *args)
+
+        # weight matrices really live sharded over the model axis
+        sh = state1.params.ode.fp_net[0].w.sharding
+        assert sh.spec == jax.sharding.PartitionSpec(None, "model")
+        assert state1.params.ode.fp_net[1].w.sharding.spec == \
+            jax.sharding.PartitionSpec("model", None)
+
+        state_ref, metrics_ref = _single_device_step(model, opt, state0, args)
+        np.testing.assert_allclose(float(metrics["loss"]),
+                                   float(metrics_ref["loss"]), rtol=1e-4)
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state1.params, state_ref.params)
+        assert max(jax.tree.leaves(diff)) < 1e-5
+
+    def test_tp_requires_example_state(self):
+        model = small_model()
+        opt = optax.adam(1e-3)
+        mesh = make_mesh([("sample", 2), ("data", 2), ("model", 2)])
+        with pytest.raises(ValueError, match="example_state"):
+            make_sharded_train_step(model, TRAINING_INFO["UONN"], opt, mesh,
+                                    donate=False)
+
     def test_sharded_forecast(self):
         model = small_model()
         params = model.init(jax.random.PRNGKey(1))
