@@ -1,0 +1,89 @@
+"""Native (C++/flock) ledger backend: semantics equivalence with the pure
+Python backend, and cross-process / cross-backend mutual exclusion on one
+shared ledger file (the reference's 24-worker coordination fabric,
+``run_ode.py:106-119`` — here claim races are exercised for real)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from fiude_tpu.utils.ledger import Ledger, _load_native
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+needs_native = pytest.mark.skipif(_load_native() is None,
+                                  reason="native ledger backend unavailable")
+
+
+@needs_native
+class TestEquivalence:
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_claim_mark_status_cycle(self, tmp_path, use_native):
+        led = Ledger(str(tmp_path / "started.txt"), use_native=use_native)
+        assert led.backend == ("native" if use_native else "python")
+        assert led.claim("cfg_a")
+        assert not led.claim("cfg_a")
+        led.mark("cfg_a", "finished")
+        assert led.status("cfg_a") == "finished"
+        assert led.status("cfg_b") is None
+        led.mark("cfg_missing", "failed")  # no-op, file untouched
+        assert led.entries() == ["cfg_a finished"]
+
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_prefix_keys_distinct(self, tmp_path, use_native):
+        led = Ledger(str(tmp_path / "l.txt"), use_native=use_native)
+        assert led.claim("cfg1")
+        assert led.claim("cfg10")          # not shadowed by cfg1
+        led.mark("cfg1", "failed")
+        assert led.status("cfg1") == "failed"
+        assert led.status("cfg10") == "claimed"
+
+    def test_backends_share_one_file(self, tmp_path):
+        path = str(tmp_path / "shared.txt")
+        nat = Ledger(path, use_native=True)
+        py = Ledger(path, use_native=False)
+        assert nat.claim("k1")
+        assert not py.claim("k1")
+        assert py.claim("k2")
+        assert not nat.claim("k2")
+        nat.mark("k2", "finished")
+        assert py.status("k2") == "finished"
+
+
+_WORKER = textwrap.dedent("""
+    import sys
+    sys.path.insert(0, {repo!r})
+    from fiude_tpu.utils.ledger import Ledger
+
+    path, use_native, n_keys = sys.argv[1], sys.argv[2] == "1", int(sys.argv[3])
+    led = Ledger(path, use_native=use_native)
+    won = [k for k in range(n_keys) if led.claim(f"key{{k:03d}}")]
+    print(" ".join(map(str, won)))
+""")
+
+
+@needs_native
+def test_multiprocess_mixed_backend_race(tmp_path):
+    """8 concurrent processes (half native, half Python filelock) race to
+    claim 40 keys on one ledger: every key is claimed exactly once."""
+    path = str(tmp_path / "race.txt")
+    n_keys, n_procs = 40, 8
+    script = _WORKER.format(repo=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, path, str(i % 2), str(n_keys)],
+            stdout=subprocess.PIPE, text=True)
+        for i in range(n_procs)
+    ]
+    wins = []
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0
+        wins.extend(int(w) for w in out.split())
+    assert sorted(wins) == list(range(n_keys))
+
+    led = Ledger(path, use_native=False)
+    assert len(led.entries()) == n_keys
