@@ -116,6 +116,13 @@ def main():
           "8 weekly RK4 steps, fused fwd+bwd backprop through the solver)",
           file=sys.stderr, flush=True)
 
+    # -- population sweep throughput (device-parallel replicates) ----------
+    pop_ms, n_members = bench_population_step(model)
+    print(f"population_step: {pop_ms:.2f} ms/step for {n_members} members "
+          f"({n_members * 1000.0 / pop_ms:.0f} member-steps/s — the "
+          "reference trains one replicate per CPU process)",
+          file=sys.stderr, flush=True)
+
     baseline = 1000.0  # north-star target (BASELINE.json): >=1000 on v5e-8
     print(json.dumps({
         "metric": "ude_region_ensemble_solves_per_sec",
@@ -151,15 +158,19 @@ def bench_train_step(model, params, *, batch=32, n_samples=64,
     y = jnp.asarray(rng.uniform(
         0, 1, (batch, n_weekly, n_regions)).astype(np.float32))
 
+    fa_arr = jnp.asarray(1.0, jnp.float32)
+    ep_arr = jnp.asarray(4, jnp.int32)
+    lim_arr = jnp.asarray(5000.0, jnp.float32)
+
     def run(n):
         state = trainer.state
         metrics = None
+        # the epoch's key chain in one dispatch, like Trainer.train
+        keys = trainer.next_keys(n)
         for i in range(n):
             state, metrics = trainer._step_fn(
-                state, x, y, t_eval, None, jnp.asarray(1.0, jnp.float32),
-                jnp.asarray(4, jnp.int32), jnp.asarray(5000.0, jnp.float32),
-                eps_key=jax.random.fold_in(jax.random.PRNGKey(3), i),
-                n_samples=n_samples)
+                state, x, y, t_eval, None, fa_arr, ep_arr, lim_arr,
+                eps_key=keys[i], n_samples=n_samples)
         return float(metrics["loss"])  # host fetch = sync
 
     run(2)  # compile + warmup
@@ -169,6 +180,56 @@ def bench_train_step(model, params, *, batch=32, n_samples=64,
         run(steps)
         best = min(best, (_time.perf_counter() - start) / steps)
     return best * 1000.0
+
+
+def bench_population_step(model, *, n_members=8, batch=32, n_samples=64,
+                          n_weekly=8, steps=20):
+    """ms/step of one vmapped population step (n_members same-architecture
+    replicates training concurrently on ONE chip) — the TPU-native form of
+    the reference's one-replicate-per-CPU-process sweep
+    (run_stuff_linux.sh:3-6).  Same amortized methodology as
+    :func:`bench_train_step`."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from fiude_tpu.parallel.sweep import PopulationTrainer
+    from fiude_tpu.train.losses import TRAINING_INFO
+
+    n_regions = model.n_regions
+    n_qs = (model.encoder.n_qs if hasattr(model.encoder, "n_qs") else 8)
+    pop = PopulationTrainer(model, n_members=n_members,
+                            loss_cfg=TRAINING_INFO["UONN"], lr=1e-3)
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(
+        0, 1, (batch, 42, n_regions * (n_qs + 1))).astype(np.float32))
+    t_eval = jnp.arange(n_weekly, dtype=jnp.float32)
+    y = jnp.asarray(rng.uniform(
+        0, 1, (batch, n_weekly, n_regions)).astype(np.float32))
+
+    def run(n):
+        states = pop.states
+        metrics = None
+        for i in range(n):
+            rngs, eps_keys = pop._batch_keys()
+            eps = jax.vmap(
+                lambda k: model.sample_eps(k, batch, n_samples, x.dtype)
+            )(eps_keys)
+            states, metrics = pop.step_fn(
+                states, x, y, t_eval, eps, pop.fa_w,
+                jnp.asarray(4, jnp.int32), jnp.asarray(5000.0, jnp.float32),
+                rngs)
+        return float(jnp.sum(metrics["loss"]))  # host fetch = sync
+
+    run(2)  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        start = _time.perf_counter()
+        run(steps)
+        best = min(best, (_time.perf_counter() - start) / steps)
+    return best * 1000.0, n_members
 
 
 if __name__ == "__main__":

@@ -143,15 +143,17 @@ class PopulationTrainer:
         self.n_members = n_members
         if ode_kl_w is not None:
             loss_cfg = dataclasses.replace(loss_cfg, ode_kl_w=ode_kl_w)
-        self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        # flatten: per-member Adam on one raveled vector (see Trainer)
+        self.opt = optax.flatten(
+            optax.inject_hyperparams(optax.adam)(learning_rate=lr))
         self._key = jax.random.PRNGKey(seed)
         if member_seeds is None:
             self._member_keys = None
             keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
         else:
             assert len(member_seeds) == n_members
-            self._member_keys = [jax.random.PRNGKey(int(s))
-                                 for s in member_seeds]
+            self._member_keys = jnp.stack(
+                [jax.random.PRNGKey(int(s)) for s in member_seeds])
             keys = self._next_member_keys()
         params = stack_trees([model.init(k) for k in keys])
         opt_state = jax.vmap(self.opt.init)(params)
@@ -170,12 +172,11 @@ class PopulationTrainer:
         return sub
 
     def _next_member_keys(self):
-        """Advance each member's Trainer-mirroring PRNG chain one split."""
-        subs = []
-        for i, k in enumerate(self._member_keys):
-            self._member_keys[i], sub = jax.random.split(k)
-            subs.append(sub)
-        return jnp.stack(subs)
+        """Advance each member's Trainer-mirroring PRNG chain one split —
+        all members in one vmapped dispatch (chain-identical per member)."""
+        pairs = jax.vmap(jax.random.split)(self._member_keys)  # (M, 2, 2)
+        self._member_keys = pairs[:, 0]
+        return pairs[:, 1]
 
     def _batch_keys(self):
         """(rngs, eps_keys) for one step, preserving the Trainer's draw
@@ -193,8 +194,11 @@ class PopulationTrainer:
         t = jnp.asarray(t)
         eval_pts = np.asarray(eval_pts)
         start_epoch = len(self.history[0].epoch_history)
+        lim_arr = jnp.asarray(grad_lim, jnp.float32)
         for e in range(epochs):
             epoch = e + start_epoch
+            epoch_arr = jnp.asarray(epoch, jnp.int32)
+            pending = []
             for x_b, y_b in loader:
                 x_b = jnp.asarray(x_b)
                 y_b = jnp.asarray(y_b)[:, eval_pts, :]
@@ -205,8 +209,9 @@ class PopulationTrainer:
                 )(eps_keys)
                 self.states, metrics = self.step_fn(
                     self.states, x_b, y_b, t[eval_pts], eps, self.fa_w,
-                    jnp.asarray(epoch, jnp.int32),
-                    jnp.asarray(grad_lim, jnp.float32), rngs)
+                    epoch_arr, lim_arr, rngs)
+                pending.append(metrics)  # host fetch deferred to epoch end
+            for metrics in pending:
                 m_host = {k: np.asarray(v) for k, v in metrics.items()}
                 for i in range(self.n_members):
                     self.history[i].batch({k: v[i] for k, v in m_host.items()})

@@ -64,6 +64,21 @@ def _tree_select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _chain_split(key, n):
+    """Advance a PRNG chain ``n`` successive splits in ONE compiled call.
+
+    Chain-identical to ``n`` repeated ``key, sub = jax.random.split(key)``
+    calls, but costs one dispatch instead of ``n`` — on the axon tunnel each
+    host-side split is a serializing ~3 ms round trip (measured; it was the
+    single largest cost of the weekly-grid training step)."""
+    def body(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+
+    return jax.lax.scan(body, key, None, length=n)
+
+
 @dataclasses.dataclass
 class Trainer:
     """Composes a :class:`UDEForecaster` with the loss stack and optimizer.
@@ -106,6 +121,13 @@ class Trainer:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def next_keys(self, n: int) -> np.ndarray:
+        """The next ``n`` keys of the chain as one host array (one compiled
+        scan + one fetch; rows feed jitted steps with no extra dispatch).
+        Chain-identical to ``n`` :meth:`next_key` calls."""
+        self._key, subs = _chain_split(self._key, n)
+        return np.asarray(subs)
+
     # -- setup ---------------------------------------------------------------
 
     def init_params(self, key=None) -> UDEForecasterParams:
@@ -117,7 +139,11 @@ class Trainer:
         if self.params is None:
             self.init_params()
         self.base_lr = lr
-        self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        # flatten: Adam runs on ONE raveled vector instead of ~40 leaves —
+        # elementwise math is identical, and the per-leaf op-issue overhead
+        # (~1 ms/step measured on-chip) disappears
+        self.opt = optax.flatten(
+            optax.inject_hyperparams(optax.adam)(learning_rate=lr))
         self.state = TrainState(
             params=self.params,
             opt_state=self.opt.init(self.params),
@@ -285,31 +311,44 @@ class Trainer:
         start_epoch = len(self.history.epoch_history)
         self.best_loss = min(self.best_loss, 1e9)
         norms_this_train = []
+        fa_arr = jnp.asarray(self.fa_w, jnp.float32)
+        lim_arr = jnp.asarray(grad_lim, jnp.float32)
+        is_bayes = self.model.is_bayes
+        per_batch = 2 if is_bayes else 1
 
         for e in range(epochs):
             epoch = e + start_epoch
             if warmup:
                 self.set_lr(self.base_lr * warm_up_lr(epoch))
-            epoch_norms = []
-            for x_b, y_b in loader:
+            epoch_arr = jnp.asarray(epoch, jnp.int32)
+            # the whole epoch's PRNG chain in one dispatch (order per batch:
+            # rng iff Bayes, then eps — identical to per-batch next_key());
+            # with nan_guard the tail of an aborted epoch is discarded
+            keys = self.next_keys(per_batch * len(loader))
+            pending = []
+            for bi, (x_b, y_b) in enumerate(loader):
                 x_b = jnp.asarray(x_b)
                 y_b = jnp.asarray(y_b)[:, eval_pts, :]
                 t_eval = t[eval_pts]
                 self.state, metrics = self._step_fn(
-                    self.state, x_b, y_b, t_eval, None,
-                    jnp.asarray(self.fa_w, jnp.float32),
-                    jnp.asarray(epoch, jnp.int32),
-                    jnp.asarray(grad_lim, jnp.float32),
-                    rng=self.next_key() if self.model.is_bayes else None,
-                    eps_key=self.next_key(), n_samples=n_samples)
-                gn = float(metrics["grad_norm"])
-                self.batch_grad_norms.append(gn)
-                epoch_norms.append(round(gn, 1))
-                self.history.batch(metrics)
+                    self.state, x_b, y_b, t_eval, None, fa_arr, epoch_arr,
+                    lim_arr,
+                    rng=keys[per_batch * bi] if is_bayes else None,
+                    eps_key=keys[per_batch * bi + per_batch - 1],
+                    n_samples=n_samples)
+                # defer host fetches to epoch end so the device pipeline
+                # stays full (each float() here is a serializing round trip)
+                pending.append(metrics)
                 if nan_guard and not np.isfinite(float(metrics["loss"])):
                     # crash containment (reference tune_encoders.py:199-200)
                     break
 
+            epoch_norms = []
+            for metrics in pending:
+                gn = float(metrics["grad_norm"])
+                self.batch_grad_norms.append(gn)
+                epoch_norms.append(round(gn, 1))
+                self.history.batch(metrics)
             self.history.reset()
             norms_this_train.append(epoch_norms)
 
@@ -356,6 +395,10 @@ class Trainer:
         eval_all = np.asarray(eval_all)
         K = len(eval_all)
         t_eval = t[eval_all]
+        fa_arr = jnp.asarray(self.fa_w, jnp.float32)
+        lim_arr = jnp.asarray(grad_lim, jnp.float32)
+        is_bayes = self.model.is_bayes
+        per_batch = 2 if is_bayes else 1
 
         for stage in range(2, K + 1):
             eval_mask = jnp.asarray(
@@ -364,18 +407,22 @@ class Trainer:
                 (np.arange(K - 1) < stage - 1).astype(np.float32))
             for e in range(epochs_per_stage):
                 epoch = len(self.history.epoch_history)
-                epoch_norms = []
-                for x_b, y_b in loader:
+                epoch_arr = jnp.asarray(epoch, jnp.int32)
+                keys = self.next_keys(per_batch * len(loader))
+                pending = []
+                for bi, (x_b, y_b) in enumerate(loader):
                     x_b = jnp.asarray(x_b)
                     y_b = jnp.asarray(y_b)[:, eval_all, :]
                     self.state, metrics = self._step_fn(
-                        self.state, x_b, y_b, t_eval, None,
-                        jnp.asarray(self.fa_w, jnp.float32),
-                        jnp.asarray(epoch, jnp.int32),
-                        jnp.asarray(grad_lim, jnp.float32),
-                        rng=self.next_key() if self.model.is_bayes else None,
+                        self.state, x_b, y_b, t_eval, None, fa_arr,
+                        epoch_arr, lim_arr,
+                        rng=keys[per_batch * bi] if is_bayes else None,
                         time_mask=time_mask, eval_mask=eval_mask,
-                        eps_key=self.next_key(), n_samples=n_samples)
+                        eps_key=keys[per_batch * bi + per_batch - 1],
+                        n_samples=n_samples)
+                    pending.append(metrics)
+                epoch_norms = []
+                for metrics in pending:
                     gn = float(metrics["grad_norm"])
                     self.batch_grad_norms.append(gn)
                     epoch_norms.append(round(gn, 1))
