@@ -13,8 +13,9 @@ Scheme (classic column/row pairing):
   **column-parallel** — weight ``(in, out)`` sharded ``P(None, 'model')``,
   bias sharded — odd layers **row-parallel** — weight sharded
   ``P('model', None)``, bias replicated (its add follows the psum).
-* GRU layers (``grus``): gate projections ``w_ih``/``w_hh`` ``(in, 3H)``
-  are column-parallel over the concatenated gate axis, biases sharded.
+* Recurrent layers (GRU/LSTM, any encoder family): gate projections
+  ``w_ih``/``w_hh`` ``(in, 3H or 4H)`` are column-parallel over the
+  concatenated gate axis, biases sharded.
 * Everything else (decoder, scalars, optimizer counts) replicated.
 
 Specs are assigned by *tree path* (``jax.tree_util.keystr``), so the same
@@ -32,7 +33,9 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _MLP = re.compile(r"\.(?:fp_net|aug_net|ff)\[(\d+)\]\.(w|b)$")
-_GRU = re.compile(r"\.grus\[\d+\]\.(w_ih|w_hh|b_ih|b_hh)$")
+# gate projections of any recurrent cell (GRU 3H / LSTM 4H), any encoder
+# family's params tree (grus / i_layers / q_layers / layers)
+_GRU = re.compile(r"\.(w_ih|w_hh|b_ih|b_hh)$")
 
 
 def tp_spec(path_str: str, leaf, n_shards: int) -> P:
