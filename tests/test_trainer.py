@@ -38,6 +38,21 @@ def make_trainer(ode_name="Fp", **kwargs):
     return Trainer(tiny_model(ode_name), loss_cfg=loss_cfg, len_tr=48, **kwargs)
 
 
+class TestKeyChain:
+    def test_next_keys_matches_sequential_next_key(self):
+        """The batched epoch chain (one compiled scan) must be bit-identical
+        to per-batch next_key() — the population-parity and seed-reproduce
+        guarantees depend on it."""
+        a = make_trainer()
+        b = make_trainer()
+        batched = a.next_keys(5)
+        singles = np.stack([np.asarray(b.next_key()) for _ in range(5)])
+        np.testing.assert_array_equal(batched, singles)
+        # the carried key advanced identically too
+        np.testing.assert_array_equal(np.asarray(a.next_key()),
+                                      np.asarray(b.next_key()))
+
+
 class TestTraining:
     def test_loss_decreases(self, tiny_data):
         x_tr, y_tr, x_te, y_te, scaler = tiny_data
