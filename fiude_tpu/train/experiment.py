@@ -37,10 +37,14 @@ def _build_data(cfg: ExperimentConfig, data_root: Optional[str],
                 synthetic: bool, fill_1: bool = False, seed: int = 0):
     if synthetic or data_root is None:
         from fiude_tpu.data.synthetic import synthetic_dataset
+        # synthetic data has no real season calendar; shift the generator
+        # seed by test_season so season columns in the results table are
+        # independent replicates rather than duplicates of one draw
+        season_shift = 7919 * (int(cfg.test_season) % 100)
         return synthetic_dataset(
             n_regions=cfg.n_regions, n_qs=cfg.n_qs,
             window_size=cfg.window_size, gamma=cfg.gamma,
-            seed=seed + cfg.num)
+            seed=seed + cfg.num + season_shift)
     from fiude_tpu.data.builder import DataConstructor
     dc = DataConstructor(test_season=cfg.test_season, region=cfg.region,
                          n_queries=cfg.n_qs, gamma=cfg.gamma,
