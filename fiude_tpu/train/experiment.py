@@ -167,9 +167,13 @@ def run_transfer(cfg: ExperimentConfig, *,
                  n_samples: Optional[int] = None,
                  grad_lim: float = 1500.0,
                  verbose: bool = False,
+                 fused_train: bool = False,
                  seed: int = 0) -> Trainer:
     """CONN -> UONN transfer (reference testing_pre_train.py:132-146):
-    load, train at fa_w=0, ramp 0 -> 1 by 0.1/epoch, long fine-tune."""
+    load, train at fa_w=0, ramp 0 -> 1 by 0.1/epoch, long fine-tune.
+
+    ``fused_train`` composes with the ramp: the fused trajectory kernel
+    takes ``fa_w`` as a runtime scalar, so no per-ramp-step recompiles."""
     assert cfg.ode_name in ("UONN", "FaFp", "UONNb"), "transfer targets a UDE"
     n_samples = n_samples or cfg.n_samples
     x_tr, y_tr, *_ = _build_data(cfg, data_root, synthetic, seed=seed)
@@ -178,7 +182,8 @@ def run_transfer(cfg: ExperimentConfig, *,
     t = jnp.arange(cfg.window_size + cfg.gamma + 1, dtype=jnp.float32) / 7.0
     eval_pts = np.arange(0, t.shape[-1], 7)
 
-    trainer = build_trainer(cfg, weights_root=weights_root, seed=seed)
+    trainer = build_trainer(cfg, weights_root=weights_root, seed=seed,
+                            fused_train=fused_train)
     trainer.setup_training(lr=cfg.lr)
     trainer.load(file_prefix=load_prefix)
 
