@@ -4,6 +4,7 @@ from fiude_tpu.parallel.mesh import (
 from fiude_tpu.parallel.train_step import (
     make_sharded_train_step, make_sharded_forecast,
 )
+from fiude_tpu.parallel.serving import ShardedFusedForecaster
 from fiude_tpu.parallel.tp import tp_shardings, tp_spec
 from fiude_tpu.parallel.sweep import (
     PopulationTrainer, make_population_train_step, run_work_queue,

@@ -132,6 +132,27 @@ class TestShardedStep:
         assert y_pred.shape == (16, 8, 3, 2)
         assert np.all(np.isfinite(np.asarray(y_pred)))
 
+    def test_sharded_fused_forecast_matches_single_device(self):
+        """The fused Pallas serving kernel under shard_map (ensemble split
+        over the sample axis) matches the single-device fused forecaster."""
+        from fiude_tpu.ops.pallas_ude import FusedForecaster
+        from fiude_tpu.parallel import ShardedFusedForecaster
+
+        model = small_model()
+        params = model.init(jax.random.PRNGKey(2))
+        x, _, t, eps = make_inputs()
+
+        single = FusedForecaster(model, params, fa_w=1.0, tile_b=16,
+                                 fuse_encoder=False)
+        y_ref = np.asarray(single(x, t, eps))
+
+        mesh = make_mesh([("sample", 4), ("data", 2)])
+        sharded = ShardedFusedForecaster(model, params, mesh, fa_w=1.0,
+                                         tile_b=16)
+        y_sh = np.asarray(sharded(x, t, eps))
+        assert y_sh.shape == y_ref.shape
+        np.testing.assert_allclose(y_sh, y_ref, rtol=2e-5, atol=2e-6)
+
 
 def _single_device_step(model, opt, state, args):
     from fiude_tpu.train.losses import compute_loss, kl_annealing, AnnealConfig
