@@ -35,10 +35,14 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                # atomic publish (see utils/ledger.py): concurrent workers
+                # must never dlopen a half-written .so
+                tmp = f"{_SO}.{os.getpid()}.tmp"
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     _SRC, "-o", _SO],
+                     _SRC, "-o", tmp],
                     check=True, capture_output=True)
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
             lib.build_windows_f32.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),

@@ -207,18 +207,21 @@ class UDEForecaster:
             return lambda t, y, k: self.ode.apply(ode_params, t, y, k)
         return lambda t, y: self.ode.apply(ode_params, t, y)
 
-    def _encode(self, params: "UDEForecasterParams", x):
-        """Encoder forward; with ``fused_train`` and a Back-GRU encoder the
-        fused Pallas fwd+BPTT pair (ops/pallas_gru_train.py) replaces the
-        XLA scan — the encoder dominates the weekly-grid training step once
-        the trajectory solve is fused (7.4 ms of a ~13 ms scan-path step)."""
+    def _encode(self, enc_params, x):
+        """Encoder forward on the encoder params subtree; with
+        ``fused_train`` and a Back-GRU encoder the fused Pallas fwd+BPTT
+        pair (ops/pallas_gru_train.py) replaces the XLA scan — the encoder
+        dominates the weekly-grid training step once the trajectory solve
+        is fused.  Falls back to the scan when the backward kernel's VMEM
+        working set would not fit (large batch/window)."""
         from fiude_tpu.models.encoders import BackGRUEncoder
         if self.fused_train and isinstance(self.encoder, BackGRUEncoder):
             from fiude_tpu.ops.pallas_gru_train import (
-                fused_backgru_train_apply,
+                fits_vmem, fused_backgru_train_apply,
             )
-            return fused_backgru_train_apply(self.encoder, params.enc, x)
-        return self.encoder.apply(params.enc, x)
+            if fits_vmem(self.encoder, batch=x.shape[0], seq_len=x.shape[1]):
+                return fused_backgru_train_apply(self.encoder, enc_params, x)
+        return self.encoder.apply(enc_params, x)
 
     def apply(self, params: "UDEForecasterParams", x, t, eps, *,
               fa_w=1.0, rng=None) -> Tuple[jnp.ndarray, "ForwardExtras"]:
@@ -238,7 +241,7 @@ class UDEForecaster:
           extras: encoder stats, latent trajectory, stage-ordered RHS aux.
         """
         n_samples, batch = eps.shape[0], eps.shape[1]
-        enc_out = self._encode(params, x)
+        enc_out = self._encode(params.enc, x)
         if self.uncertainty:
             mean, std = enc_out
             z = reparam(eps, std, mean, uncertainty=True)

@@ -105,11 +105,45 @@ def pack_encoder_traceable(encoder, enc_params):
     return tuple(arrs), tuple(Hps), in_pad, out_pad
 
 
+def fits_vmem(encoder, *, batch: int, seq_len: int,
+              cap_bytes: int = 13 * 2 ** 20) -> bool:
+    """Whether the BACKWARD kernel's VMEM working set fits on one core.
+
+    The reverse sweep holds the input, both weight copies (values +
+    cotangent accumulators), the head cotangent, and every layer's full
+    hidden-state stash ((T+1) x B_pad x Hp scratch) resident; Mosaic's
+    scoped-VMEM stack is ~16 MiB, so callers fall back to the XLA scan
+    above this estimate (same guard idea as the serving kernel's
+    ``vmem_cap`` in ops/pallas_gru.py)."""
+    B_pad = max(8, ((batch + 7) // 8) * 8)
+    T = seq_len
+    in_pad = _ceil128(encoder.input_size)
+    Hps = [_ceil128(h) for h in encoder.q_sizes]
+
+    floats = T * B_pad * in_pad                            # x stash
+    weights = 0
+    ip = in_pad
+    for Hp in Hps:
+        weights += ip * 3 * Hp + Hp * 3 * Hp + 2 * 3 * Hp
+        ip = Hp
+    fin = Hps[-1]
+    ff_outs = [_ceil128(s) for s in encoder.ff_sizes] \
+        + [_ceil128(encoder.out_features)]
+    for fout in ff_outs:
+        weights += fin * fout + fout
+        fin = fout
+    floats += 2 * weights                                  # arrs + gouts
+    floats += B_pad * ff_outs[-1]                          # g_pad
+    floats += sum((T + 1) * B_pad * Hp for Hp in Hps)      # state scratch
+    floats += 12 * B_pad * max(Hps)                        # live gate temps
+    return floats * 4 <= cap_bytes
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(T, B_pad, n_layers, n_ff, Hps, in_pad):
+def _make_bwd_kernel(T, B_pad, n_layers, n_ff, Hps):
     n_gru_arr = 4 * n_layers
     n_arr = n_gru_arr + 2 * n_ff
 
@@ -268,7 +302,7 @@ def _get_enc_train(T, B, B_pad, n_layers, n_ff, Hps, in_pad, out_pad,
     def bwd_impl(x_tm, arrs, g):
         g_pad = jnp.zeros((B_pad, out_pad), jnp.float32)
         g_pad = g_pad.at[:B, :out_features].set(g.astype(jnp.float32))
-        kernel = _make_bwd_kernel(T, B_pad, n_layers, n_ff, Hps, in_pad)
+        kernel = _make_bwd_kernel(T, B_pad, n_layers, n_ff, Hps)
         in_specs = [pl.BlockSpec(x_tm.shape, full, memory_space=pltpu.VMEM)]
         for a in arrs:
             in_specs.append(pl.BlockSpec(a.shape, full,

@@ -58,7 +58,6 @@ class ShardedFusedForecaster:
             return fn
         fused, model = self.fused, self.fused.model
         mesh, axis = self.mesh, self.sample_axis
-        other = tuple(a for a in mesh.axis_names if a != axis)
 
         def solve_shard(z_cm):
             """One device's ensemble shard through the fused kernel."""
@@ -94,7 +93,6 @@ class ShardedFusedForecaster:
             y = y.reshape(T, n_samples, batch, model.n_regions)
             return jnp.transpose(y, (2, 1, 0, 3))       # (B, S, T, R)
 
-        del other
         fn = jax.jit(pipeline)
         self._pipelines[key] = fn
         return fn

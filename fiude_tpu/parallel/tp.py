@@ -38,7 +38,8 @@ _MLP = re.compile(r"\.(?:fp_net|aug_net|ff)\[(\d+)\]\.(w|b)$")
 _GRU = re.compile(r"\.(w_ih|w_hh|b_ih|b_hh)$")
 
 
-def tp_spec(path_str: str, leaf, n_shards: int) -> P:
+def tp_spec(path_str: str, leaf, n_shards: int,
+            model_axis: str = "model") -> P:
     """PartitionSpec for one leaf, keyed on its tree path (see module doc)."""
     shape = getattr(leaf, "shape", ())
 
@@ -47,12 +48,12 @@ def tp_spec(path_str: str, leaf, n_shards: int) -> P:
         idx, kind = int(m.group(1)), m.group(2)
         if idx % 2 == 0:  # column-parallel
             if kind == "w" and len(shape) == 2 and shape[1] % n_shards == 0:
-                return P(None, "model")
+                return P(None, model_axis)
             if kind == "b" and len(shape) == 1 and shape[0] % n_shards == 0:
-                return P("model")
+                return P(model_axis)
         else:             # row-parallel
             if kind == "w" and len(shape) == 2 and shape[0] % n_shards == 0:
-                return P("model", None)
+                return P(model_axis, None)
         return P()
 
     m = _GRU.search(path_str)
@@ -60,10 +61,10 @@ def tp_spec(path_str: str, leaf, n_shards: int) -> P:
         name = m.group(1)
         if name.startswith("w") and len(shape) == 2 \
                 and shape[1] % n_shards == 0:
-            return P(None, "model")
+            return P(None, model_axis)
         if name.startswith("b") and len(shape) == 1 \
                 and shape[0] % n_shards == 0:
-            return P("model")
+            return P(model_axis)
         return P()
 
     return P()
@@ -75,6 +76,7 @@ def tp_shardings(tree, mesh: Mesh, *, model_axis: str = "model"):
     n = mesh.shape[model_axis]
 
     def one(path, leaf):
-        return NamedSharding(mesh, tp_spec(jax.tree_util.keystr(path), leaf, n))
+        return NamedSharding(mesh, tp_spec(jax.tree_util.keystr(path), leaf,
+                                           n, model_axis))
 
     return jax.tree_util.tree_map_with_path(one, tree)

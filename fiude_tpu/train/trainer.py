@@ -266,10 +266,8 @@ class Trainer:
         def pre_step(enc_params, opt_state, x):
             def loss_fn(p):
                 # route through the model so fused_train models pre-train
-                # with the fused encoder BPTT kernel too (_encode only
-                # reads .enc)
-                import types
-                mean, std = model._encode(types.SimpleNamespace(enc=p), x)
+                # with the fused encoder BPTT kernel too
+                mean, std = model._encode(p, x)
                 return kl_z_loss(mean, std, latent_dim=latent_dim, len_tr=len_tr)
 
             kl, grads = jax.value_and_grad(loss_fn)(enc_params)

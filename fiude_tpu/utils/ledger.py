@@ -49,10 +49,15 @@ def _load_native() -> Optional[ctypes.CDLL]:
         try:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                # compile to a private temp path and rename into place:
+                # rename is atomic, so a concurrent worker can never dlopen
+                # a half-written .so (N sweep workers race this on startup)
+                tmp = f"{_SO}.{os.getpid()}.tmp"
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     _SRC, "-o", _SO],
+                     _SRC, "-o", tmp],
                     check=True, capture_output=True)
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
             lib.ledger_claim.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
             lib.ledger_claim.restype = ctypes.c_int

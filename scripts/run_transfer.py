@@ -52,7 +52,8 @@ def main():
         # convention: {region}/CONN/{season}_e{E}_g{G}_w{W}_{num}_)
         conn_cfg = ExperimentConfig(
             region=cfg.region, ode_name="CONN", test_season=cfg.test_season,
-            epochs=args.conn_epochs or cfg.epochs, window_size=cfg.window_size,
+            epochs=(args.conn_epochs if args.conn_epochs is not None
+                    else cfg.epochs), window_size=cfg.window_size,
             gamma=cfg.gamma, num=cfg.num)
         load_prefix = os.path.join(args.work_dir, "weights", conn_cfg.key)
         tr = run_transfer(cfg, load_prefix=load_prefix,
@@ -89,9 +90,12 @@ def main():
             out.update(values)
         return out
 
+    # the full dimension tuple is in the key — a later sweep with different
+    # --epochs/--window/--gamma in the same work dir is new work, not a dup
     run_work_queue(configs, worker, ledger=ledger,
                    key_fn=lambda c: f"weights/{c.region}/pre_trained_UONN/"
-                                    f"{c.test_season}_{c.num}_")
+                                    f"{c.test_season}_e{c.epochs}_g{c.gamma}"
+                                    f"_w{c.window_size}_{c.num}_")
 
 
 if __name__ == "__main__":

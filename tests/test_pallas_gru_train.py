@@ -45,6 +45,38 @@ def assert_grads_close(g_ref, g_fused, rtol=1e-5, atol=1e-6):
                                    rtol=rtol, atol=atol)
 
 
+class TestVmemGuard:
+    def test_flagship_fits_large_batch_does_not(self):
+        from fiude_tpu.ops.pallas_gru_train import fits_vmem
+        enc = BackGRUEncoder(n_regions=49, n_qs=8, latent_dim=8,
+                             q_sizes=(256, 128), ff_sizes=(64, 64))
+        assert fits_vmem(enc, batch=32, seq_len=42)
+        assert not fits_vmem(enc, batch=256, seq_len=42)
+
+    def test_encode_falls_back_to_scan_when_over_budget(self):
+        """UDEForecaster._encode with fused_train must not route an
+        over-VMEM shape into the kernel — it silently takes the XLA scan."""
+        import dataclasses
+
+        from fiude_tpu.models import UDEForecaster
+
+        model = UDEForecaster.build(
+            n_regions=3, latent_dim=6, n_qs=2, ode_name="FaFp",
+            enc_params={"q_sizes": (12, 8), "ff_sizes": (8,)},
+            ode_params={"net_sizes": (8, 8), "aug_net_sizes": (8, 8)})
+        model = dataclasses.replace(model, fused_train=True)
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(5)
+        x_big = jnp.asarray(rng.uniform(
+            0, 1, (4096, 9, model.encoder.input_size)).astype(np.float32))
+        from fiude_tpu.ops.pallas_gru_train import fits_vmem
+        assert not fits_vmem(model.encoder, batch=4096, seq_len=9)
+        m_f, s_f = model._encode(params.enc, x_big)
+        m_r, s_r = model.encoder.apply(params.enc, x_big)
+        np.testing.assert_array_equal(np.asarray(m_f), np.asarray(m_r))
+        np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_r))
+
+
 class TestFusedEncoderGrad:
     @pytest.mark.parametrize("q_sizes,ff_sizes", [
         ((12, 8), (8,)),      # 2 GRU layers, 3 FF layers (reference shape)
