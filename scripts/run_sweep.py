@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--padded", action="store_true",
                     help="masked single-compilation curriculum (one trace "
                          "for the whole horizon schedule; same gradients)")
+    ap.add_argument("--summary", action="store_true",
+                    help="print the aggregated region x model table "
+                         "(scripts/summarize_results.py) after the sweep")
     ap.add_argument("--population", action="store_true",
                     help="train same-shape config groups (the `nums` axis) "
                          "as device-parallel populations over a config mesh")
@@ -91,6 +94,7 @@ def main():
                 print("population failed:", e, flush=True)
                 ledger.mark(g[0].key + f"_pop{len(g)}", "failed")
         print(f"processed {done}/{len(configs)} configs (population mode)")
+        _maybe_summary(args)
         return
 
     def worker(cfg):
@@ -107,6 +111,21 @@ def main():
     results = run_work_queue(configs, worker, ledger=ledger)
     done = sum(1 for r in results if r is not None)
     print(f"processed {done}/{len(configs)} configs")
+    _maybe_summary(args)
+
+
+def _maybe_summary(args):
+    if not args.summary:
+        return
+    csv = os.path.join(args.work_dir, args.out) + ".csv"
+    if not os.path.exists(csv):
+        print(f"--summary: no results at {csv}")
+        return
+    import pandas as pd
+
+    from scripts.summarize_results import summarize
+
+    print(summarize(pd.read_csv(csv, index_col=0)).to_string(index=False))
 
 
 if __name__ == "__main__":
