@@ -91,7 +91,11 @@ def kl_annealing(step, cfg: AnnealConfig):
     elif cfg.kind == "sigmoid":
         ramp = cfg.lower + (cfg.upper - cfg.lower) / (1.0 + jnp.exp(-10.0 * (frac - 0.5)))
     elif cfg.kind == "cosine":
-        ramp = cfg.lower + 0.5 * (1.0 - jnp.cos(jnp.pi * frac)) * (cfg.upper - cfg.lower)
+        # 0.5*(1-cos(pi f)) == sin^2(pi f / 2), but the sin^2 form avoids the
+        # catastrophic f32 cancellation of 1-cos at small steps (the reference
+        # computes this in f64 host numpy, train_functions.py:43; the sin^2
+        # value matches it to ~1e-7 relative even in f32)
+        ramp = cfg.lower + jnp.square(jnp.sin(jnp.pi / 2 * frac)) * (cfg.upper - cfg.lower)
     else:
         raise ValueError(f"unknown anneal kind {cfg.kind!r}")
     return jnp.where(s >= half, cfg.upper, ramp)

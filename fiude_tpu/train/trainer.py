@@ -294,7 +294,8 @@ class Trainer:
               checkpoint: bool = False, validate: Optional[Dict] = None,
               warmup: bool = False, verbose: bool = False,
               norm_file: Optional[str] = None,
-              nan_guard: bool = False):
+              nan_guard: bool = False,
+              eps_source=None):
         """Epoch loop (reference lib/VAE.py:248-291), exact-horizon mode.
 
         ``t``: full time grid for this phase; ``eval_pts``: indices into ``t``
@@ -302,12 +303,22 @@ class Trainer:
         (reference semantics: one RK step between eval points), so each new
         horizon re-traces once; use :meth:`train_curriculum_padded` for the
         single-compilation masked curriculum.
+
+        ``eps_source``: optional iterator of per-batch MC-draw arrays
+        ``(n_samples, batch, n_regions, ld_enc)`` consumed one per train step
+        — used by the oracle-parity tests to tie the eps stream to the
+        reference's ``torch.randn`` draws (lib/VAE.py:120).
         """
         assert self.state is not None, "call setup_training() first"
         t = jnp.asarray(t)
         eval_pts = np.asarray(eval_pts)
         start_epoch = len(self.history.epoch_history)
-        self.best_loss = min(self.best_loss, 1e9)
+        # the reference resets both per train() call (lib/VAE.py:249-250) —
+        # each curriculum stage restarts the best-loss checkpointing and the
+        # consecutive-skip counter
+        self.best_loss = 1e9
+        self.state = self.state._replace(
+            skip_count=jnp.asarray(0, jnp.int32))
         norms_this_train = []
         fa_arr = jnp.asarray(self.fa_w, jnp.float32)
         lim_arr = jnp.asarray(grad_lim, jnp.float32)
@@ -322,17 +333,22 @@ class Trainer:
             # the whole epoch's PRNG chain in one dispatch (order per batch:
             # rng iff Bayes, then eps — identical to per-batch next_key());
             # with nan_guard the tail of an aborted epoch is discarded
-            keys = self.next_keys(per_batch * len(loader))
+            need_keys = eps_source is None or is_bayes
+            keys = (self.next_keys(per_batch * len(loader))
+                    if need_keys else None)
             pending = []
             for bi, (x_b, y_b) in enumerate(loader):
                 x_b = jnp.asarray(x_b)
                 y_b = jnp.asarray(y_b)[:, eval_pts, :]
                 t_eval = t[eval_pts]
+                eps_b = (jnp.asarray(next(eps_source))
+                         if eps_source is not None else None)
                 self.state, metrics = self._step_fn(
-                    self.state, x_b, y_b, t_eval, None, fa_arr, epoch_arr,
+                    self.state, x_b, y_b, t_eval, eps_b, fa_arr, epoch_arr,
                     lim_arr,
                     rng=keys[per_batch * bi] if is_bayes else None,
-                    eps_key=keys[per_batch * bi + per_batch - 1],
+                    eps_key=(None if eps_b is not None
+                             else keys[per_batch * bi + per_batch - 1]),
                     n_samples=n_samples)
                 # defer host fetches to epoch end so the device pipeline
                 # stays full (each float() here is a serializing round trip)
@@ -399,6 +415,12 @@ class Trainer:
         per_batch = 2 if is_bayes else 1
 
         for stage in range(2, K + 1):
+            # each stage corresponds to one reference train() call, which
+            # resets the best-loss checkpointing and skip counter
+            # (lib/VAE.py:249-250)
+            self.best_loss = 1e9
+            self.state = self.state._replace(
+                skip_count=jnp.asarray(0, jnp.int32))
             eval_mask = jnp.asarray(
                 (np.arange(K) < stage).astype(np.float32))
             time_mask = jnp.asarray(

@@ -101,8 +101,16 @@ class TestTraining:
         unchanged = jax.tree.map(
             lambda a, b: bool(jnp.all(a == b)), p_before, trainer.state.params)
         assert all(jax.tree.leaves(unchanged))
-        # 3 more skips then a forced apply on the 5th
+        # each train() call RESETS the counter (reference lib/VAE.py:250):
+        # 4 epochs in a fresh call -> 4 skips, no forced apply yet
         trainer.train(loader, t, epochs=4, eval_pts=ev, n_samples=4,
+                      grad_lim=0.0)
+        assert int(trainer.state.skip_count) == 4
+        unchanged = jax.tree.map(
+            lambda a, b: bool(jnp.all(a == b)), p_before, trainer.state.params)
+        assert all(jax.tree.leaves(unchanged))
+        # 5 epochs in ONE call: 4 skips then a forced apply on the 5th
+        trainer.train(loader, t, epochs=5, eval_pts=ev, n_samples=4,
                       grad_lim=0.0)
         assert int(trainer.state.skip_count) == 0
         changed = jax.tree.map(
