@@ -117,7 +117,10 @@ def main():
           file=sys.stderr, flush=True)
 
     # -- population sweep throughput (device-parallel replicates) ----------
-    pop_ms, n_members = bench_population_step(model)
+    # fused path: members run back-to-back through the Pallas fwd+bwd
+    # kernels inside one jit (lax.scan over the member axis)
+    pop_ms, n_members = bench_population_step(
+        dataclasses.replace(model, fused_train=True))
     print(f"population_step: {pop_ms:.2f} ms/step for {n_members} members "
           f"({n_members * 1000.0 / pop_ms:.0f} member-steps/s — the "
           "reference trains one replicate per CPU process)",

@@ -184,7 +184,7 @@ def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
 
         w0h, w0t, b0 = arrs_all[0], arrs_all[1], arrs_all[2]
         arrs = arrs_all[3:]
-        fa_w = faw_ref[0]
+        fa_w = faw_ref[0, 0]
         tile0 = pl.program_id(0) * tile_b
 
         if tail_w:
@@ -236,7 +236,7 @@ def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
 
         def step(i, zh):
             e = 4 * i
-            dt = dts_ref[i]
+            dt = dts_ref[0, i]
             k1 = f(zh, e)
             k2 = f(zh + dt * k1 * (1.0 / 3.0), e + 1)
             k3 = f(zh + dt * (k2 - k1 * (1.0 / 3.0)), e + 2)
@@ -301,7 +301,7 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         arrs = arrs_all[3:]
         w0hT, w0tT = arrsT_all[0], arrsT_all[1]
         arrsT = arrsT_all[3:]
-        fa_w = faw_ref[0]
+        fa_w = faw_ref[0, 0]
         tile0 = pl.program_id(0) * tile_b
         z_tail = ztail_ref[:]
 
@@ -467,7 +467,7 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         def step_bwd(j, gz):
             i = T - 2 - j
             slot = jax.lax.rem(j, 2)
-            dt = dts_ref[i]
+            dt = dts_ref[0, i]
             wait_step(i, slot)
 
             @pl.when(i >= 1)
@@ -598,8 +598,9 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(jnp.reshape(fa_w, (1,)).astype(jnp.float32),
-          dts.astype(jnp.float32), z_head, z_tail, *packed)
+        )(jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
+          jnp.reshape(dts, (1, -1)).astype(jnp.float32), z_head, z_tail,
+          *packed)
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
         outs = list(outs)
@@ -625,8 +626,8 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
             in_specs.append(pl.BlockSpec(w.shape, full,
                                          memory_space=pltpu.VMEM))
         in_specs += [hbm, hbm]
-        inputs = [jnp.reshape(fa_w, (1,)).astype(jnp.float32),
-                  dts.astype(jnp.float32), z_tail]
+        inputs = [jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
+                  jnp.reshape(dts, (1, -1)).astype(jnp.float32), z_tail]
         inputs += list(packed) + list(packedT) + [traj, g_traj]
         if mechanistic:
             in_specs.append(hbm)

@@ -101,6 +101,28 @@ def make_population_train_step(
                            jnp.where(ok, 0, state.skip_count + 1).astype(jnp.int32)),
                 metrics)
 
+    if mesh is None and getattr(model, "fused_train", False):
+        # Fused-kernel population: Mosaic cannot batch the custom_vjp
+        # Pallas pair's HBM-streamed trajectory outputs under vmap, and on a
+        # single chip member-parallelism buys nothing anyway — the fused
+        # kernels already saturate the MXU at the folded (S*B)-row batch.
+        # One lax.scan over the stacked member axis runs each member's full
+        # fused fwd+bwd step back-to-back inside ONE jit (one dispatch per
+        # population step from the host), so the per-member cost equals the
+        # single-config fused step.
+        def scan_step(states, x, y, t, eps, fa_w, epoch, grad_lim, rngs):
+            def body(_, member):
+                state, eps_m, fa_m, rng_m = member
+                new_state, metrics = one_member(
+                    state, x, y, t, eps_m, fa_m, epoch, grad_lim, rng_m)
+                return None, (new_state, metrics)
+
+            _, (new_states, metrics) = jax.lax.scan(
+                body, None, (states, eps, fa_w, rngs))
+            return new_states, metrics
+
+        return jax.jit(scan_step)
+
     vstep = jax.vmap(one_member,
                      in_axes=(0, None, None, None, 0, 0, None, None, 0))
 
@@ -247,6 +269,7 @@ def run_population_experiment(group: Sequence[Any], *,
                               weights_root: str = ".",
                               results_file: Optional[str] = None,
                               mesh: Optional[Mesh] = None,
+                              fused_train: bool = False,
                               seed: int = 0) -> List[Dict]:
     """Train a same-shape config group as one compiled population and record
     per-member results (the device-parallel run_ode.py unit).
@@ -268,6 +291,11 @@ def run_population_experiment(group: Sequence[Any], *,
                                                  seed=seed)
     loader = ArrayLoader(x_tr, y_tr, batch_size=cfg0.batch_size, seed=seed)
     model = UDEForecaster.build(**cfg0.model_kwargs())
+    if fused_train and mesh is None:
+        # single-chip fused populations scan members through the Pallas
+        # fwd+bwd kernels; the sharded (mesh) step stays on the XLA path
+        # (see make_population_train_step)
+        model = dataclasses.replace(model, fused_train=True)
     pop = PopulationTrainer(
         model, n_members=len(group), loss_cfg=TRAINING_INFO[cfg0.ode_name],
         lr=cfg0.lr, mesh=mesh, seed=seed,

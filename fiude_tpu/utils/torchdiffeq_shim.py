@@ -28,7 +28,10 @@ def odeint(func, y0, t, rtol=None, atol=None, method="rk4", options=None):
             "torchdiffeq shim supports only the reference's method='rk4'")
     step = None if options is None else options.get("step_size")
     dts = t[1:] - t[:-1]
-    if step is not None and bool(torch.any(torch.abs(dts - dts[0]) > 1e-6 * torch.abs(dts[0]))):
+    # 1e-4 relative absorbs f32 last-ulp jitter in grids like arange(44)/7
+    # (torchdiffeq steps at the constant step_size and interpolates; the
+    # per-interval dt used here differs from that by O(ulp) only)
+    if step is not None and bool(torch.any(torch.abs(dts - dts[0]) > 1e-4 * torch.abs(dts[0]))):
         raise NotImplementedError(
             "shim requires a uniform grid (the reference always passes one)")
 

@@ -80,7 +80,7 @@ def main():
             return run_population_experiment(
                 g, data_root=args.data_root, synthetic=args.synthetic,
                 weights_root=args.work_dir, results_file=results_file,
-                mesh=m)
+                mesh=m, fused_train=args.fused_train)
 
         done = 0
         for g in groups:

@@ -140,6 +140,49 @@ class TestPopulation:
             lambda a, b: float(jnp.max(jnp.abs(a - b))), p0, p1))
         assert max(diff) > 0
 
+    def test_fused_scan_step_matches_vmap_step(self):
+        """The fused-population path (lax.scan over members, each member
+        running the Pallas custom_vjp fwd+bwd pair) must produce the same
+        states/metrics as the vmapped XLA step on identical inputs."""
+        import dataclasses as _dc
+
+        from fiude_tpu.parallel.sweep import make_population_train_step
+        from fiude_tpu.train.trainer import TrainState
+
+        M, B, S = 3, 8, 4
+        model = UDEForecaster.build(
+            n_regions=2, latent_dim=6, n_qs=3, ode_name="FaFp",
+            enc_params={"q_sizes": (12,), "ff_sizes": (8,)},
+            ode_params={"net_sizes": (8, 8)})
+        fused = _dc.replace(model, fused_train=True)
+        pop = PopulationTrainer(fused, n_members=M,
+                                loss_cfg=TRAINING_INFO["UONN"],
+                                lr=1e-3, len_tr=32, seed=0)
+        vmap_step = make_population_train_step(
+            model, TRAINING_INFO["UONN"], pop.opt, len_tr=32)
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(0, 1, (B, 14, 2 * 4)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(0, 1, (B, 2, 2)).astype(np.float32))
+        t = jnp.arange(0, 8, 7, dtype=jnp.float32) / 7.0
+        eps = jnp.asarray(rng.standard_normal((M, S, B, 2, 5)),
+                          jnp.float32)
+        rngs = jax.random.split(jax.random.PRNGKey(9), M)
+        args = (x, y, t, eps, pop.fa_w, jnp.asarray(4, jnp.int32),
+                jnp.asarray(5000.0, jnp.float32), rngs)
+
+        s_fused, m_fused = pop.step_fn(pop.states, *args)
+        s_vmap, m_vmap = vmap_step(pop.states, *args)
+        for k in m_vmap:
+            np.testing.assert_allclose(np.asarray(m_fused[k]),
+                                       np.asarray(m_vmap[k]),
+                                       rtol=5e-4, atol=1e-5, err_msg=k)
+        for a, b in zip(jax.tree.leaves(s_fused.params),
+                        jax.tree.leaves(s_vmap.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
+        assert isinstance(s_fused, TrainState)
+
     def test_stack_unstack_roundtrip(self):
         model = UDEForecaster.build(
             n_regions=1, latent_dim=6, n_qs=3, ode_name="Fp",
