@@ -3,6 +3,7 @@ from fiude_tpu.parallel.mesh import (
 )
 from fiude_tpu.parallel.train_step import (
     make_sharded_train_step, make_sharded_forecast,
+    make_fused_sharded_train_step,
 )
 from fiude_tpu.parallel.serving import ShardedFusedForecaster
 from fiude_tpu.parallel.tp import tp_shardings, tp_spec

@@ -110,6 +110,103 @@ def make_sharded_train_step(
     )
 
 
+def make_fused_sharded_train_step(
+    model: UDEForecaster,
+    loss_cfg: LossConfig,
+    opt,
+    mesh: Mesh,
+    *,
+    sample_axis: str = "sample",
+    anneal: AnnealConfig = AnnealConfig(),
+    len_tr: int = 130,
+    prior_params: Optional[Dict[str, Any]] = None,
+    donate: bool = True,
+):
+    """Multi-chip FUSED training step: the training analogue of
+    :class:`fiude_tpu.parallel.serving.ShardedFusedForecaster`.
+
+    A ``pallas_call`` has no SPMD partitioning rule, so the fused
+    fwd+bwd trajectory pair (:mod:`fiude_tpu.ops.pallas_train`) cannot ride
+    jit-sharding like the XLA path in :func:`make_sharded_train_step`.
+    Instead the per-device program is explicit ``shard_map``: the MC-draw
+    axis of ``eps`` is split over ``mesh``'s ``sample`` axis, every device
+    runs the SAME fused forward+backward kernels on its ensemble shard
+    (weights replicated — zero inter-chip traffic during the solve), the
+    loss is assembled from ONE psum round of sufficient statistics
+    (:func:`fiude_tpu.train.losses.compute_loss_sharded`), and weight
+    cotangents are psum'd over ICI.  The optimizer/skip epilogue runs
+    replicated outside the shard_map.
+
+    Pass a model built with ``fused_train=True``.  ``eps``'s sample axis
+    must divide by the axis size.  Reference hot loop this scales:
+    ``lib/VAE.py:137,200-223``.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+    from fiude_tpu.train.losses import compute_loss_sharded
+
+    prior_params = prior_params or {"means": [0.8, 0.55], "stds": [0.2, 0.2]}
+    latent_dim = model.latent_dim
+
+    def grads_shard(params, kl_w, x, y, t, eps_l, fa_w):
+        """One device: fused fwd+bwd on the local eps shard -> psum'd
+        grads + full-ensemble metrics (replicated)."""
+
+        def loss_fn(p):
+            y_pred, extras = model.apply(p, x, t, eps_l, fa_w=fa_w)
+            return compute_loss_sharded(
+                loss_cfg, y_pred, y, extras, axis=sample_axis, kl_w=kl_w,
+                latent_dim=latent_dim, len_tr=len_tr,
+                prior_params=prior_params)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return jax.lax.psum(grads, sample_axis), metrics
+
+    sharded_grads = shard_map(
+        grads_shard, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(sample_axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim):
+        if loss_cfg.anneal:
+            tr_step = state.tr_step + 1
+            kl_w = kl_annealing(tr_step, anneal)
+        else:
+            tr_step = state.tr_step
+            kl_w = jnp.asarray(1.0, jnp.float32)
+
+        grads, metrics = sharded_grads(
+            state.params, kl_w, x, y, t, eps,
+            jnp.asarray(fa_w, jnp.float32))
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = opt.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        apply_step = ((grad_norm < grad_lim)
+                      | (state.skip_count >= 4) | (epoch <= 3))
+        params = _tree_select(apply_step, new_params, state.params)
+        opt_state = _tree_select(apply_step, new_opt_state, state.opt_state)
+        skip_count = jnp.where(apply_step, 0,
+                               state.skip_count + 1).astype(jnp.int32)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = grad_norm
+        return TrainState(params, opt_state, tr_step, skip_count), metrics
+
+    repl = NamedSharding(mesh, P())
+    eps_shard = NamedSharding(mesh, P(sample_axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, repl, eps_shard, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_sharded_forecast(model: UDEForecaster, mesh: Mesh):
     """Jitted MC forecast with the ensemble sharded over the mesh."""
     axis_names = mesh.axis_names

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from fiude_tpu.models.rhs import empirical_rate_posterior
@@ -184,6 +185,181 @@ def latent_init_loss(x, mask=None):
             penalty.shape)
         penalty = penalty * m
     return jnp.sum(penalty)
+
+
+def compute_loss_sharded(
+    loss_cfg: LossConfig,
+    y_pred,
+    y_true,
+    extras,
+    *,
+    axis: str,
+    kl_w,
+    latent_dim: int,
+    len_tr: int,
+    prior_params: Optional[Dict[str, Any]] = None,
+    time_mask=None,
+    eval_mask=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """:func:`compute_loss` with the MC-sample axis sharded over mesh axis
+    ``axis`` (for use inside ``shard_map``; the training analogue of
+    :mod:`fiude_tpu.parallel.serving`).
+
+    ``y_pred`` carries only this device's sample shard (B, S_local, T, R);
+    ``extras.latent``/``extras.aux`` carry the matching folded-row shard;
+    ``y_true`` and ``extras.mean/std`` are replicated.  Cross-sample
+    statistics (ensemble moments for the NLL, the empirical rate posterior,
+    the Fa/reg reductions) are assembled from sufficient statistics in ONE
+    ``psum`` round — a single collective of a few KB instead of gathering
+    the (B, S, T, R) ensemble.
+
+    Gradient contract (pinned by ``tests/test_parallel.py``): under
+    ``shard_map(..., check_vma=False)`` the transpose of ``psum`` is
+    ``psum``, so a cotangent crossing k psums is scaled by ``n_shards**k``.
+    Every cross-device path here crosses exactly ONE psum, and the returned
+    loss is the full-ensemble loss divided by ``n_shards`` — differentiate
+    it per device and ``psum`` the grads to get exactly the single-device
+    gradient (replicated-input terms like kl_z are correct under the same
+    recipe).  Returned metrics are full-ensemble values.
+
+    An f32-stable two-pass: a FIRST, ``stop_gradient``-ed psum round
+    computes the exact cross-shard means used as centering shifts (the
+    shifted-moment value is shift-invariant, so gradients computed with the
+    shift held constant are exact, and every differentiable path still
+    crosses only the one live psum); the second round psums the centered
+    sufficient statistics.
+    """
+    prior_params = prior_params or {"means": [0.8, 0.55], "stds": [0.2, 0.2]}
+    zero = jnp.asarray(0.0, y_pred.dtype)
+
+    aux = extras.aux if hasattr(extras, "aux") else None
+    stage_mask = None
+    latent_mask = None
+    if time_mask is not None:
+        stage_mask = time_mask
+        latent_mask = jnp.concatenate(
+            [jnp.ones((1,), time_mask.dtype), time_mask])
+
+    s_local = y_pred.shape[1]
+    stats: Dict[str, jnp.ndarray] = {"one": jnp.asarray(1.0, jnp.float32)}
+
+    d = y_pred - y_true[:, None]                       # (B, S_l, T, R)
+
+    # -- centering round (no gradient; exact up to the shift's own f32) ----
+    center: Dict[str, jnp.ndarray] = {}
+    rmask = None
+    if loss_cfg.nll:
+        center["d1"] = jnp.sum(d, axis=1)
+    if loss_cfg.kl_p:
+        rates = aux["rates"]
+        rflat = rates.reshape(-1, 2)
+        if stage_mask is None:
+            rmask = jnp.ones(rflat.shape[:1] + (1,), rates.dtype)
+        else:
+            rmask = jnp.broadcast_to(
+                stage_mask.reshape(
+                    stage_mask.shape + (1,) * (rates.ndim - stage_mask.ndim)),
+                rates.shape).reshape(-1, 2)
+        center["r1"] = jnp.sum(rflat * rmask, axis=0)
+        center["rc"] = jnp.sum(jnp.broadcast_to(rmask, rflat.shape), axis=0)
+    if center:
+        center = jax.lax.stop_gradient(
+            jax.lax.psum(jax.lax.stop_gradient(center), axis))
+
+    if loss_cfg.nll:
+        n_dev = jax.lax.psum(jnp.asarray(1.0, jnp.float32), axis)
+        c_d = center["d1"] / (s_local * jax.lax.stop_gradient(n_dev))
+        dc = d - c_d[:, None]
+        stats["d1"] = jnp.sum(dc, axis=1)
+        stats["d2"] = jnp.sum(jnp.square(dc), axis=1)
+    if loss_cfg.mse:
+        stats["dsq"] = jnp.sum(jnp.square(d), axis=1)
+    if loss_cfg.kl_p:
+        c_r = center["r1"] / jnp.maximum(center["rc"], 1.0)
+        rcent = rflat - c_r
+        stats["r1"] = jnp.sum(rcent * rmask, axis=0)
+        stats["r2"] = jnp.sum(jnp.square(rcent) * rmask, axis=0)
+        stats["rc"] = jnp.sum(jnp.broadcast_to(rmask, rflat.shape), axis=0)
+    if loss_cfg.fa_norm and loss_cfg.fa_norm > 0:
+        fa = aux["fa"]
+        if stage_mask is None:
+            stats["f2"] = jnp.sum(jnp.square(fa))
+        else:
+            fm = jnp.broadcast_to(
+                stage_mask.reshape(
+                    stage_mask.shape + (1,) * (fa.ndim - stage_mask.ndim)),
+                fa.shape)
+            stats["f2"] = jnp.sum(jnp.square(fa) * fm)
+    if loss_cfg.reg_loss:
+        stats["reg"] = latent_init_loss(extras.latent[..., :3],
+                                        mask=latent_mask)
+
+    stats = jax.lax.psum(stats, axis)                  # the ONE psum round
+    n_shards = stats["one"].astype(y_pred.dtype)
+    s_total = s_local * n_shards
+
+    loss = zero
+    metrics: Dict[str, jnp.ndarray] = {}
+
+    if loss_cfg.mse:
+        if eval_mask is None:
+            denom = s_total * d.shape[0] * d.shape[2] * d.shape[3]
+            mse = jnp.sum(stats["dsq"]) / denom
+        else:
+            w = eval_mask.astype(y_pred.dtype).reshape(1, -1, 1)
+            denom = (s_total * d.shape[0] * d.shape[3]
+                     * jnp.sum(eval_mask.astype(y_pred.dtype)))
+            mse = jnp.sum(stats["dsq"] * w) / denom
+        loss = loss + mse
+        metrics["mse"] = mse
+    if loss_cfg.nll:
+        mc = stats["d1"] / s_total                     # residual past center
+        mean_d = c_d + mc                              # (B, T, R)
+        var = (stats["d2"] - s_total * jnp.square(mc)) \
+            / (s_total - 1.0)                          # unbiased, centered
+        var = jnp.maximum(var, 1e-30)
+        # -logpdf(y; y+mean_d, sqrt(var)) elementwise
+        nll = 0.5 * jnp.log(2.0 * jnp.pi * var) \
+            + jnp.square(mean_d) / (2.0 * var)
+        mask = (y_true != -1.0).astype(nll.dtype)
+        nll = nll * mask
+        if eval_mask is None:
+            nll = jnp.mean(nll)
+        else:
+            w = eval_mask.astype(nll.dtype).reshape(1, -1, 1)
+            denom = (y_true.shape[0] * y_true.shape[2]
+                     * jnp.sum(eval_mask.astype(nll.dtype)))
+            nll = jnp.sum(nll * w) / denom
+        loss = loss + nll
+        metrics["nll"] = nll
+    if loss_cfg.kl_z:
+        klz = kl_w * kl_z_loss(extras.mean, extras.std, latent_dim=latent_dim,
+                               len_tr=len_tr)
+        loss = loss + klz
+        metrics["kl_latent"] = klz
+    if loss_cfg.kl_p:
+        cnt = stats["rc"]
+        post_mean = c_r + stats["r1"] / jnp.maximum(cnt, 1.0)
+        sq = stats["r2"] - jnp.square(stats["r1"]) / jnp.maximum(cnt, 1.0)
+        post_std = jnp.sqrt(jnp.maximum(sq, 0.0)
+                            / jnp.maximum(cnt - 1.0, 1.0))
+        pm = jnp.asarray(prior_params["means"], y_pred.dtype)
+        ps = jnp.asarray(prior_params["stds"], y_pred.dtype)
+        klp = jnp.mean(kl_normal(pm, ps, post_mean, post_std))
+        loss = loss + klp
+        metrics["kl_params"] = klp
+    if loss_cfg.fa_norm and loss_cfg.fa_norm > 0:
+        norm = jnp.sqrt(stats["f2"])
+        loss = loss + loss_cfg.fa_norm * norm
+        metrics["Fa_norm"] = norm
+    if loss_cfg.reg_loss:
+        reg = 0.1 * stats["reg"]
+        loss = loss + reg
+        metrics["reg_loss"] = reg
+
+    metrics["loss"] = loss
+    metrics["kl_w"] = jnp.asarray(kl_w, y_pred.dtype)
+    return loss / n_shards, metrics
 
 
 def compute_loss(

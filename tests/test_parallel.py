@@ -132,6 +132,44 @@ class TestShardedStep:
         assert y_pred.shape == (16, 8, 3, 2)
         assert np.all(np.isfinite(np.asarray(y_pred)))
 
+    def test_fused_sharded_train_step_matches_single_device(self):
+        """shard_map fused training (ops/pallas_train under a sample-axis
+        mesh, one-psum sufficient-statistics loss, psum'd cotangents) must
+        reproduce the single-device step: loss, every loss term, grad norm,
+        and post-Adam params."""
+        import dataclasses
+
+        from fiude_tpu.parallel import make_mesh
+        from fiude_tpu.parallel.train_step import make_fused_sharded_train_step
+
+        model = small_model()
+        fused = dataclasses.replace(model, fused_train=True)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        state0 = TrainState(params, opt.init(params),
+                            jnp.asarray(0, jnp.int32),
+                            jnp.asarray(0, jnp.int32))
+        x, y, t, eps = make_inputs()
+        args = (x, y, t, eps, jnp.asarray(1.0), jnp.asarray(0),
+                jnp.asarray(5000.0))
+
+        mesh = make_mesh([("sample", 4)])
+        step = make_fused_sharded_train_step(
+            fused, TRAINING_INFO["UONN"], opt, mesh, donate=False)
+        state1, metrics = step(state0, *args)
+
+        state_ref, metrics_ref = _single_device_step(model, opt, state0,
+                                                     args)
+        for k in ("loss", "nll", "kl_latent", "kl_params", "Fa_norm",
+                  "reg_loss"):
+            np.testing.assert_allclose(
+                float(metrics[k]), float(metrics_ref[k]), rtol=2e-4,
+                err_msg=f"term {k} diverges from the single-device step")
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state1.params, state_ref.params)
+        assert max(jax.tree.leaves(diff)) < 1e-5
+
     def test_sharded_fused_forecast_matches_single_device(self):
         """The fused Pallas serving kernel under shard_map (ensemble split
         over the sample axis) matches the single-device fused forecaster."""
