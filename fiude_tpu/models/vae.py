@@ -90,7 +90,8 @@ class UDEForecaster:
     solver_unroll: int = 1  # scan unroll factor (TPU pipelining knob)
     ic_jitter: float = 1e-5
     # run the training-path trajectory (forward AND backward) as fused
-    # Pallas kernels (ops/pallas_train.py); rk4 + non-Bayes only
+    # Pallas kernels (ops/pallas_train.py; Bayes families via
+    # ops/pallas_bayes_train.py); rk4 only
     fused_train: bool = False
 
     @classmethod
@@ -278,10 +279,12 @@ class UDEForecaster:
             # work on every solver.
             aux = jax.vmap(lambda ti, yi: rhs(ti, yi)[1])(t[1:], latent[1:])
         elif (self.fused_train and self.method == "rk4"
-              and not self.is_bayes and self.substeps == 1):
+              and self.substeps == 1):
             # fused Pallas trajectory with a hand-written backward kernel —
             # identical contract to odeint_grid (trajectory + stage-ordered
-            # aux, all differentiable)
+            # aux, all differentiable).  Bayes families route to the
+            # variational kernel pair (per-evaluation weight noise re-derived
+            # from (seed, eval) on-core in both passes).
             from fiude_tpu.ops.pallas_train import (
                 aux_to_model_layout, cm_permute_traceable,
                 fused_train_trajectory, traj_to_model_layout,
@@ -289,15 +292,29 @@ class UDEForecaster:
             from fiude_tpu.ops.pallas_ude import to_cm
             has_fp = hasattr(params.ode, "fp_net")
             has_aug = hasattr(params.ode, "aug_net")
-            flat = cm_permute_traceable(
-                params.ode, self.n_regions, self.latent_dim,
-                has_fp=has_fp, has_aug=has_aug)
             z_cm = to_cm(z)
-            traj_h, rates_cm, fa_cm = fused_train_trajectory(
-                flat, z_cm, fa_w, t[1:] - t[:-1],
+            traj_kwargs = dict(
                 T=t.shape[0], R=self.n_regions, L=self.latent_dim,
                 n_fp_layers=len(params.ode.fp_net) if has_fp else 0,
                 n_aug_layers=len(params.ode.aug_net) if has_aug else 0)
+            if self.is_bayes:
+                from fiude_tpu.ops.pallas_bayes_train import (
+                    bayes_cm_permute_traceable, fused_bayes_train_trajectory,
+                )
+                means_flat, stds_flat = bayes_cm_permute_traceable(
+                    params.ode, self.n_regions, self.latent_dim,
+                    has_fp=has_fp, has_aug=has_aug)
+                seed = jax.random.randint(rng, (), 0, jnp.int32(2 ** 31 - 1),
+                                          dtype=jnp.int32)
+                traj_h, rates_cm, fa_cm = fused_bayes_train_trajectory(
+                    means_flat, stds_flat, z_cm, fa_w, t[1:] - t[:-1],
+                    seed, **traj_kwargs)
+            else:
+                flat = cm_permute_traceable(
+                    params.ode, self.n_regions, self.latent_dim,
+                    has_fp=has_fp, has_aug=has_aug)
+                traj_h, rates_cm, fa_cm = fused_train_trajectory(
+                    flat, z_cm, fa_w, t[1:] - t[:-1], **traj_kwargs)
             latent = traj_to_model_layout(traj_h, z_cm, self.n_regions,
                                           self.latent_dim)
             aux = aux_to_model_layout(rates_cm, fa_cm, t.shape[0],

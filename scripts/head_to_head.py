@@ -165,8 +165,14 @@ def train_torch_config(tree: str, cfg: ExperimentConfig, *,
 
 def train_fiude_config(tree: str, cfg: ExperimentConfig, *,
                        weights_root: str, transfer_from: str | None = None,
-                       fused: bool = True, pre_train_epochs: int = 0):
-    """The fiude trainer on the SAME tree with the SAME recipe."""
+                       fused: bool = True, pre_train_epochs: int = 0,
+                       padded: bool = True):
+    """The fiude trainer on the SAME tree with the SAME recipe.
+
+    ``padded=True`` uses the masked single-compilation curriculum
+    (gradient-identical to the exact staged mode, tested in
+    test_padded_curriculum.py) so the wall-clock column measures training,
+    not four rounds of remote Mosaic kernel compilation."""
     import jax.numpy as jnp
 
     from fiude_tpu.data.builder import DataConstructor
@@ -178,6 +184,7 @@ def train_fiude_config(tree: str, cfg: ExperimentConfig, *,
         res = run_experiment(cfg, data_root=data_root, synthetic=False,
                              weights_root=weights_root, results_file=None,
                              fused_train=fused, seed=0,
+                             padded_curriculum=padded,
                              pre_train_epochs=pre_train_epochs)
         trainer = res["trainer"]
     else:
@@ -220,7 +227,15 @@ def main():
     ap.add_argument("--torch-threads", type=int, default=1)
     ap.add_argument("--weights-root", default="/tmp/h2h_runs")
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--no-padded", action="store_true",
+                    help="exact staged curriculum (one re-trace per stage) "
+                         "instead of the masked single-compilation one")
     args = ap.parse_args()
+
+    # persistent compilation cache: repeated configs (and reruns) skip the
+    # multi-minute remote Mosaic compiles entirely
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 
     tree = ensure_tree(os.path.abspath(args.tree))
     out = os.path.abspath(args.out)
@@ -255,7 +270,8 @@ def main():
                     else:
                         m, secs = train_fiude_config(
                             tree, cfg, weights_root=args.weights_root,
-                            fused=not args.no_fused)
+                            fused=not args.no_fused,
+                            padded=not args.no_padded)
                     record(cfg, side, ode_name, m, secs)
                     if ode_name == "CONN":
                         conn_prefix[side] = (
