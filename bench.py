@@ -110,7 +110,8 @@ def main():
     # ops/pallas_gru_train.py) — gradient-parity-pinned vs the scan path
     import dataclasses
     train_ms = bench_train_step(
-        dataclasses.replace(model, fused_train=True), params)
+        dataclasses.replace(model, fused_train=True, fused_stats=True),
+        params)
     print(f"train_step: {train_ms:.2f} ms/step "
           f"({1000.0 / train_ms:.0f} steps/s, state UONN, 64x32 ensemble, "
           "8 weekly RK4 steps, fused fwd+bwd backprop through the solver)",
@@ -120,7 +121,7 @@ def main():
     # fused path: members run back-to-back through the Pallas fwd+bwd
     # kernels inside one jit (lax.scan over the member axis)
     pop_ms, n_members = bench_population_step(
-        dataclasses.replace(model, fused_train=True))
+        dataclasses.replace(model, fused_train=True, fused_stats=True))
     print(f"population_step: {pop_ms:.2f} ms/step for {n_members} members "
           f"({n_members * 1000.0 / pop_ms:.0f} member-steps/s — the "
           "reference trains one replicate per CPU process)",

@@ -93,6 +93,12 @@ class UDEForecaster:
     # Pallas kernels (ops/pallas_train.py; Bayes families via
     # ops/pallas_bayes_train.py); rk4 only
     fused_train: bool = False
+    # with fused_train: reduce the loss's aux epilogue (kl_p rate moments,
+    # fa_norm) to sufficient statistics on-core instead of streaming the
+    # (4(T-1), B, *) aux tensors through HBM both ways; ``extras.aux``
+    # becomes {"rate_stats": (r1, r2, count), "fa_sq": f2} which
+    # train/losses.py consumes directly (non-Bayes only)
+    fused_stats: bool = False
 
     @classmethod
     def build(cls, *, n_regions: int, latent_dim: int, n_qs: int,
@@ -225,7 +231,8 @@ class UDEForecaster:
         return self.encoder.apply(enc_params, x)
 
     def apply(self, params: "UDEForecasterParams", x, t, eps, *,
-              fa_w=1.0, rng=None) -> Tuple[jnp.ndarray, "ForwardExtras"]:
+              fa_w=1.0, rng=None,
+              time_mask=None) -> Tuple[jnp.ndarray, "ForwardExtras"]:
         """Forward pass.
 
         Args:
@@ -236,6 +243,10 @@ class UDEForecaster:
           fa_w: UDE ramp weight (ignored for Fp/Fa).
           rng: PRNG key for Bayes-variational weight noise (one fresh draw
             per RHS evaluation); ignored for non-Bayes RHS.
+          time_mask: optional (T-1,) per-interval loss weights (the padded
+            curriculum) — consumed only by the ``fused_stats`` path, which
+            must fold the mask into its on-core reductions; every other
+            path applies it in the loss instead.
 
         Returns:
           y_pred: (B, S, T, n_regions) MC forecast ensemble.
@@ -309,6 +320,22 @@ class UDEForecaster:
                 traj_h, rates_cm, fa_cm = fused_bayes_train_trajectory(
                     means_flat, stds_flat, z_cm, fa_w, t[1:] - t[:-1],
                     seed, **traj_kwargs)
+            elif self.fused_stats:
+                tmask = (jnp.ones((t.shape[0] - 1,), jnp.float32)
+                         if time_mask is None
+                         else jnp.asarray(time_mask, jnp.float32))
+                flat = cm_permute_traceable(
+                    params.ode, self.n_regions, self.latent_dim,
+                    has_fp=has_fp, has_aug=has_aug)
+                traj_h, r1, r2, f2 = fused_train_trajectory(
+                    flat, z_cm, fa_w, t[1:] - t[:-1], stats_mode=True,
+                    tmask=tmask, **traj_kwargs)
+                cnt = 4.0 * z_cm.shape[0] * self.n_regions * jnp.sum(tmask)
+                stats_aux = {}
+                if r1 is not None:
+                    stats_aux["rate_stats"] = (r1, r2, cnt)
+                if f2 is not None:
+                    stats_aux["fa_sq"] = f2
             else:
                 flat = cm_permute_traceable(
                     params.ode, self.n_regions, self.latent_dim,
@@ -317,8 +344,11 @@ class UDEForecaster:
                     flat, z_cm, fa_w, t[1:] - t[:-1], **traj_kwargs)
             latent = traj_to_model_layout(traj_h, z_cm, self.n_regions,
                                           self.latent_dim)
-            aux = aux_to_model_layout(rates_cm, fa_cm, t.shape[0],
-                                      self.n_regions) or None
+            if self.fused_stats and not self.is_bayes:
+                aux = stats_aux or None
+            else:
+                aux = aux_to_model_layout(rates_cm, fa_cm, t.shape[0],
+                                          self.n_regions) or None
         else:
             latent, aux = odeint_grid(
                 self.rhs_fn(params.ode, fa_w), z, t,

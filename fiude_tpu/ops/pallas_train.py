@@ -163,24 +163,42 @@ def _rhs_forward(zh, c_tail, arrs, w0h, plan, R, fa_w, mechanistic,
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+#: Static shifts for the in-kernel rate sufficient statistics: the (beta,
+#: gamma) prior means (reference lib/VAE.py:99).  Shifted moments are
+#: shift-invariant in the variance, so any fixed shift is *correct*; one
+#: near the posterior mean avoids the f32 cancellation of sum-of-squares
+#: minus squared-sum (same trick as compute_loss_sharded's centering round).
+_RATE_SHIFT = (0.8, 0.55)
+
+
 def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
-                     P, P2, P3):
+                     P, P2, P3, stats_mode=False):
     def kernel(*refs):
         i = 0
         faw_ref, dts_ref = refs[i], refs[i + 1]; i += 2
+        mask_ref = None
+        if stats_mode:
+            mask_ref = refs[i]; i += 1
         z_ref, ztail_ref = refs[i], refs[i + 1]; i += 2
         n_arr = 3 + 2 * len(plan)
         arrs_all = refs[i: i + n_arr]; i += n_arr
         rest = list(refs[i:])
         traj_hbm = rest.pop(0)
-        rates_hbm = rest.pop(0) if mechanistic else None
-        fa_hbm = rest.pop(0) if has_aug else None
-        scr_traj = rest.pop(0)
-        sem_traj = rest.pop(0)
-        scr_rates = rest.pop(0) if mechanistic else None
-        sem_rates = rest.pop(0) if mechanistic else None
-        scr_fa = rest.pop(0) if has_aug else None
-        sem_fa = rest.pop(0) if has_aug else None
+        if stats_mode:
+            stats_ref = rest.pop(0)
+            rates_hbm = fa_hbm = None
+            scr_rates = sem_rates = scr_fa = sem_fa = None
+            scr_traj = rest.pop(0)
+            sem_traj = rest.pop(0)
+        else:
+            rates_hbm = rest.pop(0) if mechanistic else None
+            fa_hbm = rest.pop(0) if has_aug else None
+            scr_traj = rest.pop(0)
+            sem_traj = rest.pop(0)
+            scr_rates = rest.pop(0) if mechanistic else None
+            sem_rates = rest.pop(0) if mechanistic else None
+            scr_fa = rest.pop(0) if has_aug else None
+            sem_fa = rest.pop(0) if has_aug else None
 
         w0h, w0t, b0 = arrs_all[0], arrs_all[1], arrs_all[2]
         arrs = arrs_all[3:]
@@ -222,7 +240,9 @@ def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
             scr[slot] = jnp.pad(val, ((0, 0), (0, width - val.shape[1])))
             ship_aux(scr, sem, hbm, e, slot).start()
 
-        def f(zh, e):
+        cb, cg = _RATE_SHIFT
+
+        def f_stream(zh, e):
             field, rates, fa = _rhs_forward(zh, c_tail, arrs, w0h, plan, R,
                                             fa_w, mechanistic)
             if mechanistic:
@@ -231,34 +251,76 @@ def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
                 put_aux(scr_fa, sem_fa, fa_hbm, e, fa, P3)
             return field
 
+        def f_stats(zh, m, acc):
+            """RHS eval folding the aux directly into masked sufficient
+            statistics (5 loop-carried f32 scalars) — no HBM aux streams."""
+            field, rates, fa = _rhs_forward(zh, c_tail, arrs, w0h, plan, R,
+                                            fa_w, mechanistic)
+            r1b, r1g, r2b, r2g, f2 = acc
+            if mechanistic:
+                db = rates[:, :R] - cb
+                dg = rates[:, R:] - cg
+                r1b = r1b + m * jnp.sum(db)
+                r1g = r1g + m * jnp.sum(dg)
+                r2b = r2b + m * jnp.sum(db * db)
+                r2g = r2g + m * jnp.sum(dg * dg)
+            if has_aug:
+                f2 = f2 + m * jnp.sum(fa * fa)
+            return field, (r1b, r1g, r2b, r2g, f2)
+
         zh = z_ref[:]
         put_traj(0, zh)
 
-        def step(i, zh):
-            e = 4 * i
-            dt = dts_ref[0, i]
-            k1 = f(zh, e)
-            k2 = f(zh + dt * k1 * (1.0 / 3.0), e + 1)
-            k3 = f(zh + dt * (k2 - k1 * (1.0 / 3.0)), e + 2)
-            k4 = f(zh + dt * (k1 - k2 + k3), e + 3)
-            zh = zh + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
-            put_traj(i + 1, zh)
-            return zh
+        if stats_mode:
+            zero = jnp.asarray(0.0, jnp.float32)
 
-        jax.lax.fori_loop(0, T - 1, step, zh)
+            def step(i, carry):
+                zh, acc = carry
+                e = 4 * i
+                dt = dts_ref[0, i]
+                m = mask_ref[0, i]
+                k1, acc = f_stats(zh, m, acc)
+                k2, acc = f_stats(zh + dt * k1 * (1.0 / 3.0), m, acc)
+                k3, acc = f_stats(zh + dt * (k2 - k1 * (1.0 / 3.0)), m, acc)
+                k4, acc = f_stats(zh + dt * (k1 - k2 + k3), m, acc)
+                zh = zh + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
+                put_traj(i + 1, zh)
+                return zh, acc
+
+            _, acc = jax.lax.fori_loop(
+                0, T - 1, step, (zh, (zero,) * 5))
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            vec = jnp.zeros((1, 128), jnp.float32)
+            for k, s in enumerate(acc):
+                vec = jnp.where(lanes == k, s, vec)
+            stats_ref[0] = vec
+        else:
+            def step(i, zh):
+                e = 4 * i
+                dt = dts_ref[0, i]
+                k1 = f_stream(zh, e)
+                k2 = f_stream(zh + dt * k1 * (1.0 / 3.0), e + 1)
+                k3 = f_stream(zh + dt * (k2 - k1 * (1.0 / 3.0)), e + 2)
+                k4 = f_stream(zh + dt * (k1 - k2 + k3), e + 3)
+                zh = zh + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
+                put_traj(i + 1, zh)
+                return zh
+
+            jax.lax.fori_loop(0, T - 1, step, zh)
 
         if T >= 2:
             ship_traj(T - 2, (T - 2) % 2).wait()
         ship_traj(T - 1, (T - 1) % 2).wait()
-        n_e = 4 * (T - 1)
-        for back in (2, 1):
-            e = n_e - back
-            if e >= 0:
-                if mechanistic:
-                    ship_aux(scr_rates, sem_rates, rates_hbm, e,
-                             e % 2).wait()
-                if has_aug:
-                    ship_aux(scr_fa, sem_fa, fa_hbm, e, e % 2).wait()
+        if not stats_mode:
+            n_e = 4 * (T - 1)
+            for back in (2, 1):
+                e = n_e - back
+                if e >= 0:
+                    if mechanistic:
+                        ship_aux(scr_rates, sem_rates, rates_hbm, e,
+                                 e % 2).wait()
+                    if has_aug:
+                        ship_aux(scr_fa, sem_fa, fa_hbm, e, e % 2).wait()
 
     return kernel
 
@@ -268,23 +330,27 @@ def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
 # ---------------------------------------------------------------------------
 
 def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
-                     P, P2, P3):
+                     P, P2, P3, stats_mode=False):
     n_plan = len(plan)
     n_arr = 3 + 2 * n_plan
 
     def kernel(*refs):
         i = 0
         faw_ref, dts_ref = refs[i], refs[i + 1]; i += 2
+        mask_ref = gstats_ref = None
+        if stats_mode:
+            mask_ref, gstats_ref = refs[i], refs[i + 1]; i += 2
         ztail_ref = refs[i]; i += 1
         arrs_all = refs[i: i + n_arr]; i += n_arr
         arrsT_all = refs[i: i + n_arr]; i += n_arr
         traj_hbm = refs[i]; i += 1
         gtraj_hbm = refs[i]; i += 1
         grates_hbm = gfa_hbm = None
-        if mechanistic:
-            grates_hbm = refs[i]; i += 1
-        if has_aug:
-            gfa_hbm = refs[i]; i += 1
+        if not stats_mode:
+            if mechanistic:
+                grates_hbm = refs[i]; i += 1
+            if has_aug:
+                gfa_hbm = refs[i]; i += 1
         gz0_ref, gztail_ref, gfaw_ref = refs[i], refs[i + 1], refs[i + 2]
         i += 3
         gw_refs = refs[i: i + n_arr]; i += n_arr
@@ -292,10 +358,11 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         scr_z = rest.pop(0); sem_z = rest.pop(0)
         scr_g = rest.pop(0); sem_g = rest.pop(0)
         scr_gr = sem_gr = scr_gf = sem_gf = None
-        if mechanistic:
-            scr_gr = rest.pop(0); sem_gr = rest.pop(0)
-        if has_aug:
-            scr_gf = rest.pop(0); sem_gf = rest.pop(0)
+        if not stats_mode:
+            if mechanistic:
+                scr_gr = rest.pop(0); sem_gr = rest.pop(0)
+            if has_aug:
+                scr_gf = rest.pop(0); sem_gf = rest.pop(0)
 
         w0h, w0t, b0 = arrs_all[0], arrs_all[1], arrs_all[2]
         arrs = arrs_all[3:]
@@ -334,17 +401,17 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         def start_step(i, slot):
             row_copy(traj_hbm, scr_z, sem_z, i, slot).start()
             row_copy(gtraj_hbm, scr_g, sem_g, i, slot).start()
-            if mechanistic:
+            if scr_gr is not None:
                 aux_copy(grates_hbm, scr_gr, sem_gr, i, slot).start()
-            if has_aug:
+            if scr_gf is not None:
                 aux_copy(gfa_hbm, scr_gf, sem_gf, i, slot).start()
 
         def wait_step(i, slot):
             row_copy(traj_hbm, scr_z, sem_z, i, slot).wait()
             row_copy(gtraj_hbm, scr_g, sem_g, i, slot).wait()
-            if mechanistic:
+            if scr_gr is not None:
                 aux_copy(grates_hbm, scr_gr, sem_gr, i, slot).wait()
-            if has_aug:
+            if scr_gf is not None:
                 aux_copy(gfa_hbm, scr_gf, sem_gf, i, slot).wait()
 
         def dotT(a, b):
@@ -353,13 +420,29 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
                 a, b, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        def rhs_vjp(zh, gout, g_rates_e, g_fa_e):
+        cb, cg = _RATE_SHIFT
+
+        def rhs_vjp(zh, gout, g_rates_e, g_fa_e, m=None):
             """VJP of one RHS evaluation at state head ``zh``.  Accumulates
             weight/bias/tail/fa_w cotangents into the output refs; returns
-            the state-head cotangent."""
+            the state-head cotangent.  In stats mode the aux cotangents are
+            reconstructed here from the recomputed rates/fa and the scalar
+            sufficient-statistic cotangents (chain rule of the masked
+            shifted sums) — no HBM aux-gradient streams exist."""
             _, rates, fa, acts = _rhs_forward(
                 zh, c_tail, arrs, w0h, plan, R, fa_w, mechanistic,
                 want_acts=True)
+            if stats_mode:
+                if mechanistic:
+                    g1b, g1g = gstats_ref[0, 0], gstats_ref[0, 1]
+                    g2b, g2g = gstats_ref[0, 2], gstats_ref[0, 3]
+                    db = rates[:, :R] - cb
+                    dg = rates[:, R:] - cg
+                    g_rates_e = jnp.concatenate(
+                        [m * (g1b + 2.0 * db * g2b),
+                         m * (g1g + 2.0 * dg * g2g)], axis=-1)
+                if has_aug:
+                    g_fa_e = m * (2.0 * gstats_ref[0, 4]) * fa
             oor = (zh > 2.0) | (zh < -1.0)
             gfield = jnp.where(oor, 0.0, gout)
 
@@ -475,12 +558,15 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
                 start_step(i - 1, 1 - slot)
 
             zh = scr_z[slot][:, : 3 * R]
+            m = mask_ref[0, i] if stats_mode else None
 
             def g_r(s):
-                return scr_gr[slot, s][:, : 2 * R] if mechanistic else None
+                return (scr_gr[slot, s][:, : 2 * R]
+                        if scr_gr is not None else None)
 
             def g_f(s):
-                return scr_gf[slot, s][:, : 3 * R] if has_aug else None
+                return (scr_gf[slot, s][:, : 3 * R]
+                        if scr_gf is not None else None)
 
             # recompute the stage states from the stored z_i
             k1, _, _ = _rhs_forward(zh, c_tail, arrs, w0h, plan, R, fa_w,
@@ -499,22 +585,22 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
             gk4 = gz * (dt * 0.125)
             gz_new = gz
 
-            gu4 = rhs_vjp(u4, gk4, g_r(3), g_f(3))
+            gu4 = rhs_vjp(u4, gk4, g_r(3), g_f(3), m)
             gz_new = gz_new + gu4
             gk1 = gk1 + dt * gu4
             gk2 = gk2 - dt * gu4
             gk3 = gk3 + dt * gu4
 
-            gu3 = rhs_vjp(u3, gk3, g_r(2), g_f(2))
+            gu3 = rhs_vjp(u3, gk3, g_r(2), g_f(2), m)
             gz_new = gz_new + gu3
             gk2 = gk2 + dt * gu3
             gk1 = gk1 - dt * gu3 * (1.0 / 3.0)
 
-            gu2 = rhs_vjp(u2, gk2, g_r(1), g_f(1))
+            gu2 = rhs_vjp(u2, gk2, g_r(1), g_f(1), m)
             gz_new = gz_new + gu2
             gk1 = gk1 + dt * gu2 * (1.0 / 3.0)
 
-            gu1 = rhs_vjp(zh, gk1, g_r(0), g_f(0))
+            gu1 = rhs_vjp(zh, gk1, g_r(0), g_f(0), m)
             gz_new = gz_new + gu1
 
             return gz_new + scr_g[slot][:, : 3 * R]
@@ -538,7 +624,7 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
 
 @functools.lru_cache(maxsize=64)
 def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
-                    interpret):
+                    interpret, stats_mode=False):
     """Build the custom_vjp'ed trajectory function for one static config.
 
     ``tile_bwd`` is the backward kernel's batch tile: the reverse sweep
@@ -546,6 +632,14 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
     cotangents + the activation stash + weight-cotangent accumulators), so
     at the forward's preferred 1024-row tile it blows the ~16 MiB scoped
     VMEM stack (measured 29.6 MiB on v5e) — it runs at a smaller tile.
+
+    ``stats_mode`` folds the aux reductions into the kernels: instead of
+    streaming the (4(T-1), B, *) rates/fa tensors to HBM (and their
+    cotangent streams back), the forward emits the masked sufficient
+    statistics the loss actually needs (shifted rate sums/sum-of-squares for
+    ``kl_p``, sum(fa^2) for ``fa_norm``) and the backward reconstructs each
+    evaluation's aux cotangent on the fly from the recomputed rates/fa —
+    O(100 MB) of HBM aux traffic per step becomes a few scalars.
     """
     mechanistic = n_fp_layers > 0
     has_aug = n_aug_layers > 0
@@ -557,37 +651,55 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     full = lambda *_: (0, 0)
 
-    def fwd_impl(plan, z_head, z_tail, packed, fa_w, dts):
+    def fwd_impl(plan, z_head, z_tail, packed, fa_w, dts, tmask=None):
         B = z_head.shape[0]
         kernel = _make_fwd_kernel(T, R, plan, tile_b, tail_w,
-                                  mechanistic, has_aug, P, P2, P3)
+                                  mechanistic, has_aug, P, P2, P3,
+                                  stats_mode=stats_mode)
+        n_tiles = B // tile_b
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        inputs = [jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
+                  jnp.reshape(dts, (1, -1)).astype(jnp.float32)]
+        if stats_mode:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.append(jnp.reshape(tmask, (1, -1)).astype(jnp.float32))
+        in_specs += [
             pl.BlockSpec((tile_b, 3 * R), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, max(tail_w, 1)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
+        inputs += [z_head, z_tail]
         for w in packed:
             in_specs.append(pl.BlockSpec(w.shape, full,
                                          memory_space=pltpu.VMEM))
+        inputs += list(packed)
         out_shape = [jax.ShapeDtypeStruct((T, B, P), jnp.float32)]
         out_specs = [hbm]
+        if stats_mode:
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1, 128),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
         scratch = [pltpu.VMEM((2, tile_b, P), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,))]
-        if mechanistic:
-            out_shape.append(
-                jax.ShapeDtypeStruct((n_evals, B, P2), jnp.float32))
-            out_specs.append(hbm)
-            scratch += [pltpu.VMEM((2, tile_b, P2), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
-        if has_aug:
-            out_shape.append(
-                jax.ShapeDtypeStruct((n_evals, B, P3), jnp.float32))
-            out_specs.append(hbm)
-            scratch += [pltpu.VMEM((2, tile_b, P3), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
+        if not stats_mode:
+            if mechanistic:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_evals, B, P2), jnp.float32))
+                out_specs.append(hbm)
+                scratch += [pltpu.VMEM((2, tile_b, P2), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]
+            if has_aug:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_evals, B, P3), jnp.float32))
+                out_specs.append(hbm)
+                scratch += [pltpu.VMEM((2, tile_b, P3), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]
 
         outs = pl.pallas_call(
             kernel,
@@ -598,43 +710,56 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
-          jnp.reshape(dts, (1, -1)).astype(jnp.float32), z_head, z_tail,
-          *packed)
+        )(*inputs)
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
         outs = list(outs)
         traj = outs.pop(0)
+        if stats_mode:
+            svec = jnp.sum(outs.pop(0)[:, 0, :], axis=0)     # (128,)
+            r1c = svec[0:2] if mechanistic else None
+            r2c = svec[2:4] if mechanistic else None
+            f2 = svec[4] if has_aug else None
+            return traj, r1c, r2c, f2
         rates = outs.pop(0) if mechanistic else None
         fa = outs.pop(0) if has_aug else None
         return traj, rates, fa
 
     def bwd_impl(plan, z_tail, packed, fa_w, dts, traj, g_traj, g_rates,
-                 g_fa):
+                 g_fa, tmask=None, gstats=None):
         B = traj.shape[1]
         n_tiles = B // tile_bwd
         kernel = _make_bwd_kernel(T, R, plan, tile_bwd, tail_w,
-                                  mechanistic, has_aug, P, P2, P3)
+                                  mechanistic, has_aug, P, P2, P3,
+                                  stats_mode=stats_mode)
         packedT = tuple(jnp.transpose(w) for w in packed)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_bwd, max(tail_w, 1)), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
         ]
+        inputs = [jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
+                  jnp.reshape(dts, (1, -1)).astype(jnp.float32)]
+        if stats_mode:
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                         pl.BlockSpec(memory_space=pltpu.SMEM)]
+            inputs += [jnp.reshape(tmask, (1, -1)).astype(jnp.float32),
+                       jnp.reshape(gstats, (1, -1)).astype(jnp.float32)]
+        in_specs.append(
+            pl.BlockSpec((tile_bwd, max(tail_w, 1)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))
+        inputs.append(z_tail)
         for w in packed + packedT:
             in_specs.append(pl.BlockSpec(w.shape, full,
                                          memory_space=pltpu.VMEM))
         in_specs += [hbm, hbm]
-        inputs = [jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
-                  jnp.reshape(dts, (1, -1)).astype(jnp.float32), z_tail]
         inputs += list(packed) + list(packedT) + [traj, g_traj]
-        if mechanistic:
-            in_specs.append(hbm)
-            inputs.append(g_rates)
-        if has_aug:
-            in_specs.append(hbm)
-            inputs.append(g_fa)
+        if not stats_mode:
+            if mechanistic:
+                in_specs.append(hbm)
+                inputs.append(g_rates)
+            if has_aug:
+                in_specs.append(hbm)
+                inputs.append(g_fa)
 
         out_shape = [
             jax.ShapeDtypeStruct((B, 3 * R), jnp.float32),
@@ -660,12 +785,13 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.VMEM((2, tile_bwd, P), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,))]
-        if mechanistic:
-            scratch += [pltpu.VMEM((2, 4, tile_bwd, P2), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
-        if has_aug:
-            scratch += [pltpu.VMEM((2, 4, tile_bwd, P3), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
+        if not stats_mode:
+            if mechanistic:
+                scratch += [pltpu.VMEM((2, 4, tile_bwd, P2), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]
+            if has_aug:
+                scratch += [pltpu.VMEM((2, 4, tile_bwd, P3), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]
 
         outs = pl.pallas_call(
             kernel,
@@ -683,27 +809,58 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
         gws = tuple(jnp.sum(o, axis=0) for o in outs[3:])
         return gz0, gztail, gws, gfa_w
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-    def traj_fn(plan, z_head, z_tail, packed, fa_w, dts):
-        return fwd_impl(plan, z_head, z_tail, packed, fa_w, dts)
+    if stats_mode:
+        @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+        def traj_fn(plan, z_head, z_tail, packed, fa_w, dts, tmask):
+            return fwd_impl(plan, z_head, z_tail, packed, fa_w, dts, tmask)
 
-    def traj_fwd(plan, z_head, z_tail, packed, fa_w, dts):
-        out = fwd_impl(plan, z_head, z_tail, packed, fa_w, dts)
-        return out, (z_tail, packed, fa_w, dts, out[0])
+        def traj_fwd(plan, z_head, z_tail, packed, fa_w, dts, tmask):
+            out = fwd_impl(plan, z_head, z_tail, packed, fa_w, dts, tmask)
+            return out, (z_tail, packed, fa_w, dts, tmask, out[0])
 
-    def traj_bwd(plan, res, g):
-        z_tail, packed, fa_w, dts, traj = res
-        g_traj, g_rates, g_fa = g
-        gz0, gztail, gws, gfa_w = bwd_impl(plan, z_tail, packed, fa_w, dts,
-                                           traj, g_traj, g_rates, g_fa)
-        if not tail_w:
-            gztail = jnp.zeros_like(z_tail)
-        # no cotangent for the time grid (never optimized; see docstring)
-        return gz0, gztail, gws, gfa_w, jnp.zeros_like(dts)
+        def traj_bwd(plan, res, g):
+            z_tail, packed, fa_w, dts, tmask, traj = res
+            g_traj, g_r1, g_r2, g_f2 = g
+            zer = jnp.zeros((), jnp.float32)
+            gs = [zer] * 5
+            if g_r1 is not None:
+                gs[0], gs[1] = g_r1[0], g_r1[1]
+                gs[2], gs[3] = g_r2[0], g_r2[1]
+            if g_f2 is not None:
+                gs[4] = jnp.asarray(g_f2, jnp.float32)
+            gstats = jnp.stack(gs)
+            gz0, gztail, gws, gfa_w = bwd_impl(
+                plan, z_tail, packed, fa_w, dts, traj, g_traj, None, None,
+                tmask=tmask, gstats=gstats)
+            if not tail_w:
+                gztail = jnp.zeros_like(z_tail)
+            return (gz0, gztail, gws, gfa_w, jnp.zeros_like(dts),
+                    jnp.zeros_like(tmask))
 
-    traj_fn.defvjp(traj_fwd, traj_bwd)
+        traj_fn.defvjp(traj_fwd, traj_bwd)
+    else:
+        @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+        def traj_fn(plan, z_head, z_tail, packed, fa_w, dts):
+            return fwd_impl(plan, z_head, z_tail, packed, fa_w, dts)
 
-    def entry(weights_flat, z_cm, fa_w, dts):
+        def traj_fwd(plan, z_head, z_tail, packed, fa_w, dts):
+            out = fwd_impl(plan, z_head, z_tail, packed, fa_w, dts)
+            return out, (z_tail, packed, fa_w, dts, out[0])
+
+        def traj_bwd(plan, res, g):
+            z_tail, packed, fa_w, dts, traj = res
+            g_traj, g_rates, g_fa = g
+            gz0, gztail, gws, gfa_w = bwd_impl(plan, z_tail, packed, fa_w,
+                                               dts, traj, g_traj, g_rates,
+                                               g_fa)
+            if not tail_w:
+                gztail = jnp.zeros_like(z_tail)
+            # no cotangent for the time grid (never optimized; see docstring)
+            return gz0, gztail, gws, gfa_w, jnp.zeros_like(dts)
+
+        traj_fn.defvjp(traj_fwd, traj_bwd)
+
+    def entry(weights_flat, z_cm, fa_w, dts, tmask=None):
         """weights_flat: traceable CM-permuted flat list; z_cm: (B, L*R);
         dts: (T-1,) per-interval step sizes (traced)."""
         if n_fp_layers > 0 and n_aug_layers > 0:
@@ -725,6 +882,12 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
         z_head = z_cm[:, : 3 * R]
         z_tail = z_cm[:, 3 * R:] if tail_w else jnp.zeros((B, 1),
                                                           jnp.float32)
+        if stats_mode:
+            traj, r1, r2, f2 = traj_fn(plan, z_head, z_tail, packed,
+                                       jnp.asarray(fa_w, jnp.float32),
+                                       jnp.asarray(dts, jnp.float32),
+                                       jnp.asarray(tmask, jnp.float32))
+            return traj[..., : 3 * R], r1, r2, f2
         traj, rates, fa = traj_fn(plan, z_head, z_tail, packed,
                                   jnp.asarray(fa_w, jnp.float32),
                                   jnp.asarray(dts, jnp.float32))
@@ -735,9 +898,15 @@ def _get_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b, tile_bwd,
     return entry
 
 
+#: Public alias of the in-kernel sufficient-statistic shift (the loss needs
+#: it to un-shift the first moment: post_mean = RATE_SHIFT + r1/count).
+RATE_SHIFT = _RATE_SHIFT
+
+
 def fused_train_trajectory(weights_flat, z_cm, fa_w, dts, *, T, R, L,
                            n_fp_layers, n_aug_layers, tile_b=1024,
-                           tile_bwd=256,
+                           tile_bwd=256, stats_mode: bool = False,
+                           tmask=None,
                            interpret: Optional[bool] = None):
     """Differentiable fused RK4(3/8) trajectory (training path).
 
@@ -755,6 +924,13 @@ def fused_train_trajectory(weights_flat, z_cm, fa_w, dts, *, T, R, L,
     fa (4(T-1), B, 3R) | None)`` in compartment-major layout — use
     :func:`traj_to_model_layout` / :func:`aux_to_model_layout` to recover
     the ``odeint_grid`` contract.
+
+    With ``stats_mode=True`` the aux tensors are never materialized:
+    ``tmask`` is the (T-1,) per-interval loss weight (all-ones when
+    ``None``) and the return is ``(traj_head, r1 (2,), r2 (2,), f2)`` —
+    the masked RATE_SHIFT-shifted rate sums / sums-of-squares and the
+    masked ``sum(fa**2)`` the loss epilogue needs (each ``None`` when the
+    family lacks that head).  Gradients flow through the statistics.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -772,7 +948,11 @@ def fused_train_trajectory(weights_flat, z_cm, fa_w, dts, *, T, R, L,
         tbwd //= 2
     entry = _get_train_traj(int(T), int(R), int(L),
                             int(n_fp_layers), int(n_aug_layers), int(tile),
-                            int(tbwd), bool(interpret))
+                            int(tbwd), bool(interpret), bool(stats_mode))
+    if stats_mode:
+        if tmask is None:
+            tmask = jnp.ones((int(T) - 1,), jnp.float32)
+        return entry(tuple(weights_flat), z_cm, fa_w, dts, tmask)
     return entry(tuple(weights_flat), z_cm, fa_w, dts)
 
 

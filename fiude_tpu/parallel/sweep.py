@@ -295,7 +295,8 @@ def run_population_experiment(group: Sequence[Any], *,
         # single-chip fused populations scan members through the Pallas
         # fwd+bwd kernels; the sharded (mesh) step stays on the XLA path
         # (see make_population_train_step)
-        model = dataclasses.replace(model, fused_train=True)
+        model = dataclasses.replace(model, fused_train=True,
+                                    fused_stats=True)
     pop = PopulationTrainer(
         model, n_members=len(group), loss_cfg=TRAINING_INFO[cfg0.ode_name],
         lr=cfg0.lr, mesh=mesh, seed=seed,

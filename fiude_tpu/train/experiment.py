@@ -55,8 +55,13 @@ def _build_data(cfg: ExperimentConfig, data_root: Optional[str],
 
 def build_trainer(cfg: ExperimentConfig, *, weights_root: str = ".",
                   seed: int = 0, fused_train: bool = False) -> Trainer:
+    # fused_stats rides along with fused_train: the loss's aux epilogue
+    # (kl_p moments, fa_norm) reduces on-core instead of streaming the
+    # (4(T-1), B, *) aux tensors through HBM both ways (non-Bayes only;
+    # gradient-parity pinned in test_pallas_train.py::TestStatsMode)
     model = UDEForecaster.build(**cfg.model_kwargs(),
-                                fused_train=fused_train)
+                                fused_train=fused_train,
+                                fused_stats=fused_train)
     return Trainer(
         model,
         loss_cfg=TRAINING_INFO[cfg.ode_name],

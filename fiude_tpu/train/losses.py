@@ -166,6 +166,27 @@ def kl_params_loss(rates_aux, *, prior_means=(0.8, 0.55), prior_stds=(0.2, 0.2),
     return jnp.mean(kl_normal(pm, ps, post_mean, post_std))
 
 
+def kl_params_from_stats(r1, r2, count, *, prior_means=(0.8, 0.55),
+                         prior_stds=(0.2, 0.2)):
+    """:func:`kl_params_loss` from kernel-reduced sufficient statistics.
+
+    ``r1``/``r2`` are the masked sums and sums-of-squares of the
+    RATE_SHIFT-shifted (beta, gamma) evaluations (fused stats mode,
+    ``ops/pallas_train.py``); ``count`` is the masked element count per
+    column.  Shifted moments are shift-invariant in the variance, so this
+    reproduces :func:`ops.stats.masked_mean_std` (ddof=1) exactly.
+    """
+    from fiude_tpu.ops.pallas_train import RATE_SHIFT
+    cnt = jnp.maximum(count, 1.0)
+    shift = jnp.asarray(RATE_SHIFT, r1.dtype)
+    post_mean = shift + r1 / cnt
+    sq = r2 - jnp.square(r1) / cnt
+    post_std = jnp.sqrt(jnp.maximum(sq, 0.0) / jnp.maximum(count - 1.0, 1.0))
+    pm = jnp.asarray(prior_means, r1.dtype)
+    ps = jnp.asarray(prior_stds, r1.dtype)
+    return jnp.mean(kl_normal(pm, ps, post_mean, post_std))
+
+
 def fa_norm_loss(fa_aux, mask=None):
     """Frobenius norm of all Fa evaluations (lib/VAE.py:180)."""
     if mask is None:
@@ -248,9 +269,11 @@ def compute_loss_sharded(
     # -- centering round (no gradient; exact up to the shift's own f32) ----
     center: Dict[str, jnp.ndarray] = {}
     rmask = None
+    aux_stats = isinstance(aux, dict) and ("rate_stats" in aux
+                                           or "fa_sq" in aux)
     if loss_cfg.nll:
         center["d1"] = jnp.sum(d, axis=1)
-    if loss_cfg.kl_p:
+    if loss_cfg.kl_p and not aux_stats:
         rates = aux["rates"]
         rflat = rates.reshape(-1, 2)
         if stage_mask is None:
@@ -275,16 +298,29 @@ def compute_loss_sharded(
     if loss_cfg.mse:
         stats["dsq"] = jnp.sum(jnp.square(d), axis=1)
     if loss_cfg.kl_p:
-        c_r = center["r1"] / jnp.maximum(center["rc"], 1.0)
-        rcent = rflat - c_r
-        stats["r1"] = jnp.sum(rcent * rmask, axis=0)
-        stats["r2"] = jnp.sum(jnp.square(rcent) * rmask, axis=0)
-        stats["rc"] = jnp.sum(jnp.broadcast_to(rmask, rflat.shape), axis=0)
-    if loss_cfg.fa_norm and loss_cfg.fa_norm > 0:
-        fa = aux["fa"]
-        if stage_mask is None:
-            stats["f2"] = jnp.sum(jnp.square(fa))
+        if aux_stats:
+            # fused stats mode: the kernel reduced this shard's masked
+            # RATE_SHIFT-shifted moments on-core; psum them like any other
+            # sufficient statistic (the shift is a fixed constant, so no
+            # centering round is needed)
+            r1_l, r2_l, rc_l = aux["rate_stats"]
+            stats["r1"] = r1_l
+            stats["r2"] = r2_l
+            stats["rc"] = jnp.broadcast_to(rc_l, (2,)).astype(jnp.float32)
         else:
+            c_r = center["r1"] / jnp.maximum(center["rc"], 1.0)
+            rcent = rflat - c_r
+            stats["r1"] = jnp.sum(rcent * rmask, axis=0)
+            stats["r2"] = jnp.sum(jnp.square(rcent) * rmask, axis=0)
+            stats["rc"] = jnp.sum(jnp.broadcast_to(rmask, rflat.shape),
+                                  axis=0)
+    if loss_cfg.fa_norm and loss_cfg.fa_norm > 0:
+        if aux_stats:
+            stats["f2"] = aux["fa_sq"]
+        elif stage_mask is None:
+            stats["f2"] = jnp.sum(jnp.square(aux["fa"]))
+        else:
+            fa = aux["fa"]
             fm = jnp.broadcast_to(
                 stage_mask.reshape(
                     stage_mask.shape + (1,) * (fa.ndim - stage_mask.ndim)),
@@ -338,6 +374,9 @@ def compute_loss_sharded(
         loss = loss + klz
         metrics["kl_latent"] = klz
     if loss_cfg.kl_p:
+        if aux_stats:
+            from fiude_tpu.ops.pallas_train import RATE_SHIFT
+            c_r = jnp.asarray(RATE_SHIFT, y_pred.dtype)
         cnt = stats["rc"]
         post_mean = c_r + stats["r1"] / jnp.maximum(cnt, 1.0)
         sq = stats["r2"] - jnp.square(stats["r1"]) / jnp.maximum(cnt, 1.0)
@@ -411,14 +450,24 @@ def compute_loss(
         loss = loss + klz
         metrics["kl_latent"] = klz
     if loss_cfg.kl_p:
-        klp = kl_params_loss(aux["rates"],
-                             prior_means=prior_params["means"],
-                             prior_stds=prior_params["stds"],
-                             mask=stage_mask)
+        if isinstance(aux, dict) and "rate_stats" in aux:
+            # fused stats mode (ops/pallas_train.py stats_mode): the kernel
+            # already reduced the masked shifted rate moments on-core
+            klp = kl_params_from_stats(
+                *aux["rate_stats"], prior_means=prior_params["means"],
+                prior_stds=prior_params["stds"])
+        else:
+            klp = kl_params_loss(aux["rates"],
+                                 prior_means=prior_params["means"],
+                                 prior_stds=prior_params["stds"],
+                                 mask=stage_mask)
         loss = loss + klp
         metrics["kl_params"] = klp
     if loss_cfg.fa_norm and loss_cfg.fa_norm > 0:
-        norm = fa_norm_loss(aux["fa"], mask=stage_mask)
+        if isinstance(aux, dict) and "fa_sq" in aux:
+            norm = jnp.sqrt(aux["fa_sq"])
+        else:
+            norm = fa_norm_loss(aux["fa"], mask=stage_mask)
         loss = loss + loss_cfg.fa_norm * norm
         metrics["Fa_norm"] = norm
     if loss_cfg.reg_loss:

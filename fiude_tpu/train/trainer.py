@@ -214,7 +214,7 @@ class Trainer:
 
             def loss_fn(params):
                 y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w,
-                                             rng=rng)
+                                             rng=rng, time_mask=time_mask)
                 ode_kl = None
                 if model.is_bayes:
                     from fiude_tpu.models.bayes import variational_kl

@@ -166,7 +166,7 @@ def train_torch_config(tree: str, cfg: ExperimentConfig, *,
 def train_fiude_config(tree: str, cfg: ExperimentConfig, *,
                        weights_root: str, transfer_from: str | None = None,
                        fused: bool = True, pre_train_epochs: int = 0,
-                       padded: bool = True):
+                       padded: bool = True, seed: int = 0):
     """The fiude trainer on the SAME tree with the SAME recipe.
 
     ``padded=True`` uses the masked single-compilation curriculum
@@ -183,7 +183,7 @@ def train_fiude_config(tree: str, cfg: ExperimentConfig, *,
     if transfer_from is None:
         res = run_experiment(cfg, data_root=data_root, synthetic=False,
                              weights_root=weights_root, results_file=None,
-                             fused_train=fused, seed=0,
+                             fused_train=fused, seed=seed,
                              padded_curriculum=padded,
                              pre_train_epochs=pre_train_epochs)
         trainer = res["trainer"]
@@ -191,7 +191,7 @@ def train_fiude_config(tree: str, cfg: ExperimentConfig, *,
         trainer = run_transfer(cfg, load_prefix=transfer_from,
                                data_root=data_root, synthetic=False,
                                weights_root=weights_root, fused_train=fused,
-                               seed=0)
+                               seed=seed)
     train_seconds = time.monotonic() - start
 
     dc = DataConstructor(test_season=cfg.test_season, region=cfg.region,
@@ -218,9 +218,13 @@ def main():
                     help="default: the per-region reference budget")
     ap.add_argument("--window", type=int, default=15)
     ap.add_argument("--gamma", type=int, default=28)
-    ap.add_argument("--num", type=int, default=1)
+    ap.add_argument("--nums", nargs="+", type=int, default=[1],
+                    help="replicate seeds (reference 'num' column)")
     ap.add_argument("--sides", nargs="+", default=["torch", "fiude"],
                     choices=["torch", "fiude"])
+    ap.add_argument("--resume", action="store_true",
+                    help="skip (framework, region, ode, season, num) cells "
+                         "already present in the output CSV")
     ap.add_argument("--transfer", action="store_true",
                     help="also run the CONN->UONN_pre transfer recipe "
                          "(requires CONN in --models)")
@@ -240,6 +244,19 @@ def main():
     tree = ensure_tree(os.path.abspath(args.tree))
     out = os.path.abspath(args.out)
 
+    def have_row(framework: str, region: str, ode_label: str, season: int,
+                 num: int) -> bool:
+        if not (args.resume and os.path.exists(out + ".csv")):
+            return False
+        import pandas as pd
+        df = pd.read_csv(out + ".csv", index_col=0)
+        if df.empty:
+            return False
+        hit = df[(df["framework"] == framework) & (df["region"] == region)
+                 & (df["ode_name"] == ode_label)
+                 & (df["test_season"] == season) & (df["num"] == num)]
+        return len(hit) > 0
+
     def record(cfg: ExperimentConfig, framework: str, ode_label: str,
                metrics, secs: float):
         variables = {"framework": framework, "region": cfg.region,
@@ -256,48 +273,59 @@ def main():
     for region in args.regions:
         epochs = args.epochs or REGION_INFO[region]["epochs"]
         for season in args.seasons:
-            conn_prefix = {}
-            for ode_name in args.models:
-                cfg = ExperimentConfig(
-                    region=region, ode_name=ode_name, test_season=season,
-                    epochs=epochs, window_size=args.window,
-                    gamma=args.gamma, num=args.num)
-                for side in args.sides:
-                    if side == "torch":
-                        m, secs = train_torch_config(
-                            tree, cfg, weights_root=args.weights_root,
-                            threads=args.torch_threads)
-                    else:
-                        m, secs = train_fiude_config(
-                            tree, cfg, weights_root=args.weights_root,
-                            fused=not args.no_fused,
-                            padded=not args.no_padded)
-                    record(cfg, side, ode_name, m, secs)
-                    if ode_name == "CONN":
-                        conn_prefix[side] = (
-                            os.path.join(args.weights_root, "torch", cfg.key)
-                            if side == "torch" else
-                            os.path.join(args.weights_root, "weights",
-                                         cfg.key))
-            if args.transfer and "CONN" in args.models:
-                cfg = ExperimentConfig(
-                    region=region, ode_name="UONN", test_season=season,
-                    epochs=epochs, window_size=args.window,
-                    gamma=args.gamma, num=args.num)
-                for side in args.sides:
-                    if side not in conn_prefix:
-                        continue
-                    if side == "torch":
-                        m, secs = train_torch_config(
-                            tree, cfg, weights_root=args.weights_root,
-                            transfer_from=conn_prefix[side],
-                            threads=args.torch_threads)
-                    else:
-                        m, secs = train_fiude_config(
-                            tree, cfg, weights_root=args.weights_root,
-                            transfer_from=conn_prefix[side],
-                            fused=not args.no_fused)
-                    record(cfg, side, "UONN_pre", m, secs)
+            for num in args.nums:
+                conn_prefix = {}
+                for ode_name in args.models:
+                    cfg = ExperimentConfig(
+                        region=region, ode_name=ode_name, test_season=season,
+                        epochs=epochs, window_size=args.window,
+                        gamma=args.gamma, num=num)
+                    for side in args.sides:
+                        if ode_name == "CONN":
+                            conn_prefix[side] = (
+                                os.path.join(args.weights_root, "torch",
+                                             cfg.key)
+                                if side == "torch" else
+                                os.path.join(args.weights_root, "weights",
+                                             cfg.key))
+                        if have_row(side, region, ode_name, season, num):
+                            print(f"[skip] {side} {ode_name} {region} "
+                                  f"{season} num={num}", flush=True)
+                            continue
+                        if side == "torch":
+                            m, secs = train_torch_config(
+                                tree, cfg, weights_root=args.weights_root,
+                                threads=args.torch_threads)
+                        else:
+                            m, secs = train_fiude_config(
+                                tree, cfg, weights_root=args.weights_root,
+                                fused=not args.no_fused,
+                                padded=not args.no_padded,
+                                seed=num)
+                        record(cfg, side, ode_name, m, secs)
+                if args.transfer and "CONN" in args.models:
+                    cfg = ExperimentConfig(
+                        region=region, ode_name="UONN", test_season=season,
+                        epochs=epochs, window_size=args.window,
+                        gamma=args.gamma, num=num)
+                    for side in args.sides:
+                        if side not in conn_prefix:
+                            continue
+                        if have_row(side, region, "UONN_pre", season, num):
+                            print(f"[skip] {side} UONN_pre {region} "
+                                  f"{season} num={num}", flush=True)
+                            continue
+                        if side == "torch":
+                            m, secs = train_torch_config(
+                                tree, cfg, weights_root=args.weights_root,
+                                transfer_from=conn_prefix[side],
+                                threads=args.torch_threads)
+                        else:
+                            m, secs = train_fiude_config(
+                                tree, cfg, weights_root=args.weights_root,
+                                transfer_from=conn_prefix[side],
+                                fused=not args.no_fused, seed=num)
+                        record(cfg, side, "UONN_pre", m, secs)
 
 
 if __name__ == "__main__":

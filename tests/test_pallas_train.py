@@ -224,3 +224,131 @@ class TestModelIntegration:
         for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_s)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("ode_name", ["FaFp", "Fp", "Fa"])
+class TestStatsMode:
+    """stats_mode: the kernels reduce the masked aux sufficient statistics
+    on-core — values and every cotangent must match the streaming path's
+    jnp reductions over the full aux tensors."""
+
+    @staticmethod
+    def _stats_from_streaming(aux, tmask):
+        """Reference reductions over the streaming (stage-ordered) aux."""
+        from fiude_tpu.ops.pallas_train import RATE_SHIFT
+        out = {}
+        if "rates" in aux:
+            r = aux["rates"]  # (T-1, 4, B, R, 2)
+            m = tmask.reshape(-1, 1, 1, 1, 1)
+            d = r - jnp.asarray(RATE_SHIFT, r.dtype)
+            out["r1"] = jnp.sum(d * m, axis=(0, 1, 2, 3))
+            out["r2"] = jnp.sum(jnp.square(d) * m, axis=(0, 1, 2, 3))
+        if "fa" in aux:
+            f = aux["fa"]
+            m = tmask.reshape(-1, 1, 1, 1, 1)
+            out["f2"] = jnp.sum(jnp.square(f) * m)
+        return out
+
+    def test_values_and_grads(self, ode_name):
+        ode, params, z, t, has_fp, has_aug, n_fp, n_aug = _setup(ode_name)
+        tmask = jnp.asarray([1.0, 0.5], jnp.float32)
+
+        def outs_stats(params, z, fa_w):
+            flat = cm_permute_traceable(params, R, L, has_fp=has_fp,
+                                        has_aug=has_aug)
+            traj_h, r1, r2, f2 = fused_train_trajectory(
+                flat, to_cm(z), fa_w, t[1:] - t[:-1], stats_mode=True,
+                tmask=tmask, T=len(t), R=R, L=L, n_fp_layers=n_fp,
+                n_aug_layers=n_aug, tile_b=8, interpret=True)
+            lat = traj_to_model_layout(traj_h, to_cm(z), R, L)
+            st = {}
+            if r1 is not None:
+                st["r1"], st["r2"] = r1, r2
+            if f2 is not None:
+                st["f2"] = f2
+            return lat, st
+
+        def outs_stream(params, z, fa_w):
+            lat, aux = _scan_outputs(ode, params, z, t, fa_w, ode_name)
+            return lat, self._stats_from_streaming(aux, tmask)
+
+        def loss(outs_fn, params, z, fa_w):
+            lat, st = outs_fn(params, z, fa_w)
+            out = jnp.sum(jnp.sin(lat)) * 1.3
+            if "r1" in st:
+                out = out + 0.7 * jnp.sum(jnp.cos(st["r1"])) \
+                    + 0.2 * jnp.sum(st["r2"] ** 2)
+            if "f2" in st:
+                out = out + 0.4 * jnp.tanh(st["f2"]) + 0.05 * st["f2"]
+            return out
+
+        fa_w = jnp.asarray(FA_W, jnp.float32)
+        lat_k, st_k = outs_stats(params, z, fa_w)
+        lat_s, st_s = outs_stream(params, z, fa_w)
+        np.testing.assert_allclose(np.asarray(lat_k), np.asarray(lat_s),
+                                   rtol=2e-5, atol=1e-6)
+        assert set(st_k) == set(st_s)
+        for k in st_s:
+            np.testing.assert_allclose(np.asarray(st_k[k]),
+                                       np.asarray(st_s[k]),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
+
+        v_k, g_k = jax.value_and_grad(
+            lambda p, zz, fw: loss(outs_stats, p, zz, fw),
+            argnums=(0, 1, 2))(params, z, fa_w)
+        v_s, g_s = jax.value_and_grad(
+            lambda p, zz, fw: loss(outs_stream, p, zz, fw),
+            argnums=(0, 1, 2))(params, z, fa_w)
+        assert float(v_k) == pytest.approx(float(v_s), rel=2e-5)
+        # both sides are f32 with different (equally valid) reduction
+        # orders for the moment sums — slightly looser than the streaming
+        # parity tests
+        for a, b in zip(jax.tree.leaves(g_k[:2]), jax.tree.leaves(g_s[:2])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+        if ode_name == "FaFp":
+            assert float(g_k[2]) == pytest.approx(float(g_s[2]), rel=2e-3)
+
+
+class TestStatsTrainerIntegration:
+    def test_trainer_step_matches_scan_with_curriculum(self):
+        """Full jitted Trainer step on the stats path (kl_p + fa_norm from
+        kernel statistics) vs the scan path, under a padded-curriculum
+        time_mask: identical metrics and post-Adam params."""
+        from fiude_tpu.models.vae import UDEForecaster
+        from fiude_tpu.train import TRAINING_INFO
+        from fiude_tpu.train.trainer import Trainer
+
+        def run(fused, stats):
+            model = UDEForecaster.build(
+                n_regions=R, latent_dim=L, n_qs=3, ode_name="FaFp",
+                enc_params={"q_sizes": (12,), "ff_sizes": (8,)},
+                ode_params={"net_sizes": NET, "aug_net_sizes": AUG},
+                fused_train=fused, fused_stats=stats)
+            tr = Trainer(model=model, loss_cfg=TRAINING_INFO["UONN"],
+                         seed=7, len_tr=10)
+            tr.init_params(jax.random.PRNGKey(5))
+            tr.setup_training(lr=1e-3)
+            rng = np.random.default_rng(9)
+            x = jnp.asarray(rng.uniform(0, 1, (4, 10, 16))
+                            .astype(np.float32))
+            y = jnp.asarray(rng.uniform(0, 1, (4, 4, R))
+                            .astype(np.float32))
+            t = jnp.arange(4, dtype=jnp.float32) / 7.0
+            eps = jnp.asarray(rng.standard_normal((3, 4, R, L - 1))
+                              .astype(np.float32))
+            tm = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+            em = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)
+            state, metrics = tr._step_fn(
+                tr.state, x, y, t, eps, jnp.asarray(1.0, jnp.float32),
+                jnp.asarray(1, jnp.int32), jnp.asarray(5000.0, jnp.float32),
+                time_mask=tm, eval_mask=em)
+            return {k: float(v) for k, v in metrics.items()}, state.params
+
+        m_k, p_k = run(True, True)
+        m_s, p_s = run(False, False)
+        for k in m_s:
+            assert m_k[k] == pytest.approx(m_s[k], rel=2e-4, abs=1e-7), k
+        for a, b in zip(jax.tree.leaves(p_k), jax.tree.leaves(p_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
