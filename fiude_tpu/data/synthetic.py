@@ -66,17 +66,39 @@ def synthetic_daily_ili(
     season_len: int = 365,
     seed: int = 0,
     peak_scale: float = 7.7,
+    season_coherence: float = 0.8,
 ) -> np.ndarray:
-    """Daily ILI-rate curves (n_days, n_regions), peaks O(1-8) like CDC data."""
+    """Daily ILI-rate curves (n_days, n_regions), peaks O(1-8) like CDC data.
+
+    ``season_coherence`` in [0, 1] sets how strongly regions share each
+    season's epidemic: real ILI surveillance co-moves across regions within
+    a season (one dominant strain nationally — the property the reference's
+    multi-region hhs/state results ride on), so each season draws shared
+    (beta, gamma, i0, onset) "strain" parameters and each region perturbs
+    them; at 0 every region draws its own season independently (the
+    pre-round-3 behavior, which made the synthetic hhs task strictly harder
+    than the real data: 10 nearly-independent processes for one shared
+    encoder — see docs/RESULTS_SYNTH.md).
+    """
     rng = np.random.default_rng(seed)
     n_days = n_seasons * season_len
     ili = np.zeros((n_days, n_regions))
-    for r in range(n_regions):
-        for s in range(n_seasons):
-            beta = rng.uniform(0.7, 1.1)
-            gam = rng.uniform(0.45, 0.6)
-            i0 = rng.uniform(5e-4, 3e-3)
-            onset = int(rng.uniform(0.1, 0.35) * season_len)
+    c = float(np.clip(season_coherence, 0.0, 1.0))
+    for s in range(n_seasons):
+        beta_s = rng.uniform(0.7, 1.1)
+        gam_s = rng.uniform(0.45, 0.6)
+        i0_s = rng.uniform(5e-4, 3e-3)
+        onset_s = rng.uniform(0.1, 0.35)
+        for r in range(n_regions):
+            beta = c * beta_s + (1 - c) * rng.uniform(0.7, 1.1) \
+                + c * rng.normal(0.0, 0.03)
+            gam = c * gam_s + (1 - c) * rng.uniform(0.45, 0.6) \
+                + c * rng.normal(0.0, 0.015)
+            i0 = c * i0_s + (1 - c) * rng.uniform(5e-4, 3e-3)
+            i0 *= np.exp(c * rng.normal(0.0, 0.3))
+            onset_f = c * onset_s + (1 - c) * rng.uniform(0.1, 0.35) \
+                + c * rng.normal(0.0, 0.02)
+            onset = int(np.clip(onset_f, 0.05, 0.5) * season_len)
             curve = _sir_season(rng, season_len, beta, gam, i0)
             seasonal = np.zeros(season_len)
             seasonal[onset:] = curve[: season_len - onset]

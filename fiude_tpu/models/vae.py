@@ -97,7 +97,7 @@ class UDEForecaster:
     # fa_norm) to sufficient statistics on-core instead of streaming the
     # (4(T-1), B, *) aux tensors through HBM both ways; ``extras.aux``
     # becomes {"rate_stats": (r1, r2, count), "fa_sq": f2} which
-    # train/losses.py consumes directly (non-Bayes only)
+    # train/losses.py consumes directly (deterministic AND Bayes families)
     fused_stats: bool = False
 
     @classmethod
@@ -308,6 +308,13 @@ class UDEForecaster:
                 T=t.shape[0], R=self.n_regions, L=self.latent_dim,
                 n_fp_layers=len(params.ode.fp_net) if has_fp else 0,
                 n_aug_layers=len(params.ode.aug_net) if has_aug else 0)
+            if self.fused_stats:
+                tmask = (jnp.ones((t.shape[0] - 1,), jnp.float32)
+                         if time_mask is None
+                         else jnp.asarray(time_mask, jnp.float32))
+                stats_kwargs = dict(stats_mode=True, tmask=tmask)
+            else:
+                stats_kwargs = {}
             if self.is_bayes:
                 from fiude_tpu.ops.pallas_bayes_train import (
                     bayes_cm_permute_traceable, fused_bayes_train_trajectory,
@@ -317,36 +324,29 @@ class UDEForecaster:
                     has_fp=has_fp, has_aug=has_aug)
                 seed = jax.random.randint(rng, (), 0, jnp.int32(2 ** 31 - 1),
                                           dtype=jnp.int32)
-                traj_h, rates_cm, fa_cm = fused_bayes_train_trajectory(
+                outs = fused_bayes_train_trajectory(
                     means_flat, stds_flat, z_cm, fa_w, t[1:] - t[:-1],
-                    seed, **traj_kwargs)
-            elif self.fused_stats:
-                tmask = (jnp.ones((t.shape[0] - 1,), jnp.float32)
-                         if time_mask is None
-                         else jnp.asarray(time_mask, jnp.float32))
+                    seed, **stats_kwargs, **traj_kwargs)
+            else:
                 flat = cm_permute_traceable(
                     params.ode, self.n_regions, self.latent_dim,
                     has_fp=has_fp, has_aug=has_aug)
-                traj_h, r1, r2, f2 = fused_train_trajectory(
-                    flat, z_cm, fa_w, t[1:] - t[:-1], stats_mode=True,
-                    tmask=tmask, **traj_kwargs)
+                outs = fused_train_trajectory(
+                    flat, z_cm, fa_w, t[1:] - t[:-1], **stats_kwargs,
+                    **traj_kwargs)
+            latent = traj_to_model_layout(outs[0], z_cm, self.n_regions,
+                                          self.latent_dim)
+            if self.fused_stats:
+                _, r1, r2, f2 = outs
                 cnt = 4.0 * z_cm.shape[0] * self.n_regions * jnp.sum(tmask)
                 stats_aux = {}
                 if r1 is not None:
                     stats_aux["rate_stats"] = (r1, r2, cnt)
                 if f2 is not None:
                     stats_aux["fa_sq"] = f2
-            else:
-                flat = cm_permute_traceable(
-                    params.ode, self.n_regions, self.latent_dim,
-                    has_fp=has_fp, has_aug=has_aug)
-                traj_h, rates_cm, fa_cm = fused_train_trajectory(
-                    flat, z_cm, fa_w, t[1:] - t[:-1], **traj_kwargs)
-            latent = traj_to_model_layout(traj_h, z_cm, self.n_regions,
-                                          self.latent_dim)
-            if self.fused_stats and not self.is_bayes:
                 aux = stats_aux or None
             else:
+                _, rates_cm, fa_cm = outs
                 aux = aux_to_model_layout(rates_cm, fa_cm, t.shape[0],
                                           self.n_regions) or None
         else:

@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fiude_tpu.ops.pallas_bayes import _kernel_normal
 from fiude_tpu.ops.pallas_train import (
-    _cm_permute_net_traceable, _dot, _elu, _elu_grad, _rhs_forward,
+    _RATE_SHIFT, _cm_permute_net_traceable, _dot, _elu, _elu_grad,
+    _rhs_forward,
 )
 from fiude_tpu.ops.pallas_ude import _build_plan
 
@@ -110,13 +111,16 @@ def _materialize(means, stds, zs):
 # ---------------------------------------------------------------------------
 
 def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
-                     P, P2, P3, n_arr, n_noise):
+                     P, P2, P3, n_arr, n_noise, stats_mode=False):
     def kernel(*refs):
         i = 0
         seed_ref = None
         if n_noise == 0:
             seed_ref = refs[i]; i += 1
         faw_ref, dts_ref = refs[i], refs[i + 1]; i += 2
+        mask_ref = None
+        if stats_mode:
+            mask_ref = refs[i]; i += 1
         z_ref, ztail_ref = refs[i], refs[i + 1]; i += 2
         means = refs[i: i + n_arr]; i += n_arr
         stds = refs[i: i + n_arr]; i += n_arr
@@ -125,14 +129,21 @@ def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
             noise = refs[i: i + n_noise]; i += n_noise
         rest = list(refs[i:])
         traj_hbm = rest.pop(0)
-        rates_hbm = rest.pop(0) if mechanistic else None
-        fa_hbm = rest.pop(0) if has_aug else None
-        scr_traj = rest.pop(0)
-        sem_traj = rest.pop(0)
-        scr_rates = rest.pop(0) if mechanistic else None
-        sem_rates = rest.pop(0) if mechanistic else None
-        scr_fa = rest.pop(0) if has_aug else None
-        sem_fa = rest.pop(0) if has_aug else None
+        if stats_mode:
+            stats_ref = rest.pop(0)
+            rates_hbm = fa_hbm = None
+            scr_rates = sem_rates = scr_fa = sem_fa = None
+            scr_traj = rest.pop(0)
+            sem_traj = rest.pop(0)
+        else:
+            rates_hbm = rest.pop(0) if mechanistic else None
+            fa_hbm = rest.pop(0) if has_aug else None
+            scr_traj = rest.pop(0)
+            sem_traj = rest.pop(0)
+            scr_rates = rest.pop(0) if mechanistic else None
+            sem_rates = rest.pop(0) if mechanistic else None
+            scr_fa = rest.pop(0) if has_aug else None
+            sem_fa = rest.pop(0) if has_aug else None
 
         fa_w = faw_ref[0, 0]
         seed_i = seed_ref[0] if seed_ref is not None else 0
@@ -170,49 +181,95 @@ def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
             scr[slot] = jnp.pad(val, ((0, 0), (0, width - val.shape[1])))
             ship_aux(scr, sem, hbm, e, slot).start()
 
-        def f(zh, e):
+        cb, cg = _RATE_SHIFT
+
+        def f_eval(zh, e):
             zs = _draw_all(e, shapes, noise, seed_i)
             ws = _materialize(means, stds, zs)
             if tail_w:
                 c_tail = _dot(z_tail, ws[1]) + ws[2]
             else:
                 c_tail = ws[2]
-            field, rates, fa = _rhs_forward(zh, c_tail, ws[3:], ws[0], plan,
-                                            R, fa_w, mechanistic)
+            return _rhs_forward(zh, c_tail, ws[3:], ws[0], plan,
+                                R, fa_w, mechanistic)
+
+        def f_stream(zh, e):
+            field, rates, fa = f_eval(zh, e)
             if mechanistic:
                 put_aux(scr_rates, sem_rates, rates_hbm, e, rates, P2)
             if has_aug:
                 put_aux(scr_fa, sem_fa, fa_hbm, e, fa, P3)
             return field
 
+        def f_stats(zh, e, m, acc):
+            """RHS eval folding the aux into masked sufficient statistics
+            (see ops.pallas_train) — no HBM aux streams."""
+            field, rates, fa = f_eval(zh, e)
+            r1b, r1g, r2b, r2g, f2 = acc
+            if mechanistic:
+                db = rates[:, :R] - cb
+                dg = rates[:, R:] - cg
+                r1b = r1b + m * jnp.sum(db)
+                r1g = r1g + m * jnp.sum(dg)
+                r2b = r2b + m * jnp.sum(db * db)
+                r2g = r2g + m * jnp.sum(dg * dg)
+            if has_aug:
+                f2 = f2 + m * jnp.sum(fa * fa)
+            return field, (r1b, r1g, r2b, r2g, f2)
+
         zh = z_ref[:]
         put_traj(0, zh)
 
-        def step(i, zh):
-            e = 4 * i
-            dt = dts_ref[0, i]
-            k1 = f(zh, e)
-            k2 = f(zh + dt * k1 * (1.0 / 3.0), e + 1)
-            k3 = f(zh + dt * (k2 - k1 * (1.0 / 3.0)), e + 2)
-            k4 = f(zh + dt * (k1 - k2 + k3), e + 3)
-            zh = zh + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
-            put_traj(i + 1, zh)
-            return zh
+        if stats_mode:
+            zero = jnp.asarray(0.0, jnp.float32)
 
-        jax.lax.fori_loop(0, T - 1, step, zh)
+            def step(i, carry):
+                zh, acc = carry
+                e = 4 * i
+                dt = dts_ref[0, i]
+                m = mask_ref[0, i]
+                k1, acc = f_stats(zh, e, m, acc)
+                k2, acc = f_stats(zh + dt * k1 * (1.0 / 3.0), e + 1, m, acc)
+                k3, acc = f_stats(zh + dt * (k2 - k1 * (1.0 / 3.0)), e + 2,
+                                  m, acc)
+                k4, acc = f_stats(zh + dt * (k1 - k2 + k3), e + 3, m, acc)
+                zh = zh + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
+                put_traj(i + 1, zh)
+                return zh, acc
+
+            _, acc = jax.lax.fori_loop(0, T - 1, step, (zh, (zero,) * 5))
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            vec = jnp.zeros((1, 128), jnp.float32)
+            for k, s in enumerate(acc):
+                vec = jnp.where(lanes == k, s, vec)
+            stats_ref[0] = vec
+        else:
+            def step(i, zh):
+                e = 4 * i
+                dt = dts_ref[0, i]
+                k1 = f_stream(zh, e)
+                k2 = f_stream(zh + dt * k1 * (1.0 / 3.0), e + 1)
+                k3 = f_stream(zh + dt * (k2 - k1 * (1.0 / 3.0)), e + 2)
+                k4 = f_stream(zh + dt * (k1 - k2 + k3), e + 3)
+                zh = zh + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125
+                put_traj(i + 1, zh)
+                return zh
+
+            jax.lax.fori_loop(0, T - 1, step, zh)
 
         if T >= 2:
             ship_traj(T - 2, (T - 2) % 2).wait()
         ship_traj(T - 1, (T - 1) % 2).wait()
-        n_e = 4 * (T - 1)
-        for back in (2, 1):
-            e = n_e - back
-            if e >= 0:
-                if mechanistic:
-                    ship_aux(scr_rates, sem_rates, rates_hbm, e,
-                             e % 2).wait()
-                if has_aug:
-                    ship_aux(scr_fa, sem_fa, fa_hbm, e, e % 2).wait()
+        if not stats_mode:
+            n_e = 4 * (T - 1)
+            for back in (2, 1):
+                e = n_e - back
+                if e >= 0:
+                    if mechanistic:
+                        ship_aux(scr_rates, sem_rates, rates_hbm, e,
+                                 e % 2).wait()
+                    if has_aug:
+                        ship_aux(scr_fa, sem_fa, fa_hbm, e, e % 2).wait()
 
     return kernel
 
@@ -222,7 +279,7 @@ def _make_fwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
 # ---------------------------------------------------------------------------
 
 def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
-                     P, P2, P3, n_arr, n_noise):
+                     P, P2, P3, n_arr, n_noise, stats_mode=False):
     n_plan = len(plan)
 
     def kernel(*refs):
@@ -231,6 +288,9 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         if n_noise == 0:
             seed_ref = refs[i]; i += 1
         faw_ref, dts_ref = refs[i], refs[i + 1]; i += 2
+        mask_ref = gstats_ref = None
+        if stats_mode:
+            mask_ref, gstats_ref = refs[i], refs[i + 1]; i += 2
         ztail_ref = refs[i]; i += 1
         means = refs[i: i + n_arr]; i += n_arr
         stds = refs[i: i + n_arr]; i += n_arr
@@ -240,10 +300,11 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         traj_hbm = refs[i]; i += 1
         gtraj_hbm = refs[i]; i += 1
         grates_hbm = gfa_hbm = None
-        if mechanistic:
-            grates_hbm = refs[i]; i += 1
-        if has_aug:
-            gfa_hbm = refs[i]; i += 1
+        if not stats_mode:
+            if mechanistic:
+                grates_hbm = refs[i]; i += 1
+            if has_aug:
+                gfa_hbm = refs[i]; i += 1
         gz0_ref, gztail_ref, gfaw_ref = refs[i], refs[i + 1], refs[i + 2]
         i += 3
         gmean_refs = refs[i: i + n_arr]; i += n_arr
@@ -252,10 +313,11 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         scr_z = rest.pop(0); sem_z = rest.pop(0)
         scr_g = rest.pop(0); sem_g = rest.pop(0)
         scr_gr = sem_gr = scr_gf = sem_gf = None
-        if mechanistic:
-            scr_gr = rest.pop(0); sem_gr = rest.pop(0)
-        if has_aug:
-            scr_gf = rest.pop(0); sem_gf = rest.pop(0)
+        if not stats_mode:
+            if mechanistic:
+                scr_gr = rest.pop(0); sem_gr = rest.pop(0)
+            if has_aug:
+                scr_gf = rest.pop(0); sem_gf = rest.pop(0)
 
         fa_w = faw_ref[0, 0]
         seed_i = seed_ref[0] if seed_ref is not None else 0
@@ -284,17 +346,17 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
         def start_step(i, slot):
             row_copy(traj_hbm, scr_z, sem_z, i, slot).start()
             row_copy(gtraj_hbm, scr_g, sem_g, i, slot).start()
-            if mechanistic:
+            if scr_gr is not None:
                 aux_copy(grates_hbm, scr_gr, sem_gr, i, slot).start()
-            if has_aug:
+            if scr_gf is not None:
                 aux_copy(gfa_hbm, scr_gf, sem_gf, i, slot).start()
 
         def wait_step(i, slot):
             row_copy(traj_hbm, scr_z, sem_z, i, slot).wait()
             row_copy(gtraj_hbm, scr_g, sem_g, i, slot).wait()
-            if mechanistic:
+            if scr_gr is not None:
                 aux_copy(grates_hbm, scr_gr, sem_gr, i, slot).wait()
-            if has_aug:
+            if scr_gf is not None:
                 aux_copy(gfa_hbm, scr_gf, sem_gf, i, slot).wait()
 
         def dotT(a, b):
@@ -316,9 +378,14 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
             gmean_refs[k][...] += contrib
             gstd_refs[k][...] += contrib * zs[k]
 
-        def rhs_vjp(zh, gout, g_rates_e, g_fa_e, ws, zs):
+        cb, cg = _RATE_SHIFT
+
+        def rhs_vjp(zh, gout, g_rates_e, g_fa_e, ws, zs, m=None):
             """VJP of one RHS evaluation at state head ``zh`` under this
-            evaluation's effective weights ``ws`` (noise ``zs``)."""
+            evaluation's effective weights ``ws`` (noise ``zs``).  In stats
+            mode the aux cotangents are reconstructed from the recomputed
+            rates/fa and the scalar statistic cotangents (see
+            ops.pallas_train)."""
             w0h, w0t, b0 = ws[0], ws[1], ws[2]
             arrs = ws[3:]
             if tail_w:
@@ -328,6 +395,17 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
             _, rates, fa, acts = _rhs_forward(
                 zh, c_tail, arrs, w0h, plan, R, fa_w, mechanistic,
                 want_acts=True)
+            if stats_mode:
+                if mechanistic:
+                    g1b, g1g = gstats_ref[0, 0], gstats_ref[0, 1]
+                    g2b, g2g = gstats_ref[0, 2], gstats_ref[0, 3]
+                    db = rates[:, :R] - cb
+                    dg = rates[:, R:] - cg
+                    g_rates_e = jnp.concatenate(
+                        [m * (g1b + 2.0 * db * g2b),
+                         m * (g1g + 2.0 * dg * g2g)], axis=-1)
+                if has_aug:
+                    g_fa_e = m * (2.0 * gstats_ref[0, 4]) * fa
             oor = (zh > 2.0) | (zh < -1.0)
             gfield = jnp.where(oor, 0.0, gout)
 
@@ -442,12 +520,15 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
                 start_step(i - 1, 1 - slot)
 
             zh = scr_z[slot][:, : 3 * R]
+            m = mask_ref[0, i] if stats_mode else None
 
             def g_r(s):
-                return scr_gr[slot, s][:, : 2 * R] if mechanistic else None
+                return (scr_gr[slot, s][:, : 2 * R]
+                        if scr_gr is not None else None)
 
             def g_f(s):
-                return scr_gf[slot, s][:, : 3 * R] if has_aug else None
+                return (scr_gf[slot, s][:, : 3 * R]
+                        if scr_gf is not None else None)
 
             # one noise stash per stage evaluation; effective weights are
             # re-materialized from it on use (mul+add, no transcendentals)
@@ -479,25 +560,29 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
             gz_new = gz
 
             gu4 = rhs_vjp(u4, gk4, g_r(3), g_f(3),
-                          _materialize(means, stds, zs[3]), zs[3])
+                          _materialize(means, stds, zs[3]), zs[3],
+                          m)
             gz_new = gz_new + gu4
             gk1 = gk1 + dt * gu4
             gk2 = gk2 - dt * gu4
             gk3 = gk3 + dt * gu4
 
             gu3 = rhs_vjp(u3, gk3, g_r(2), g_f(2),
-                          _materialize(means, stds, zs[2]), zs[2])
+                          _materialize(means, stds, zs[2]), zs[2],
+                          m)
             gz_new = gz_new + gu3
             gk2 = gk2 + dt * gu3
             gk1 = gk1 - dt * gu3 * (1.0 / 3.0)
 
             gu2 = rhs_vjp(u2, gk2, g_r(1), g_f(1),
-                          _materialize(means, stds, zs[1]), zs[1])
+                          _materialize(means, stds, zs[1]), zs[1],
+                          m)
             gz_new = gz_new + gu2
             gk1 = gk1 + dt * gu2 * (1.0 / 3.0)
 
             gu1 = rhs_vjp(zh, gk1, g_r(0), g_f(0),
-                          _materialize(means, stds, zs[0]), zs[0])
+                          _materialize(means, stds, zs[0]), zs[0],
+                          m)
             gz_new = gz_new + gu1
 
             return gz_new + scr_g[slot][:, : 3 * R]
@@ -519,7 +604,7 @@ def _make_bwd_kernel(T, R, plan, tile_b, tail_w, mechanistic, has_aug,
 
 @functools.lru_cache(maxsize=64)
 def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
-                          tile_bwd, interpret, n_noise):
+                          tile_bwd, interpret, n_noise, stats_mode=False):
     """Build the custom_vjp'ed Bayes trajectory function for one static
     config.  ``n_noise > 0`` enables the injected-noise (test) mode: the
     caller supplies one (4*(T-1),) + shape noise array per packed weight
@@ -539,12 +624,14 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
         return [pl.BlockSpec(z.shape, full3, memory_space=pltpu.VMEM)
                 for z in noise]
 
-    def fwd_impl(plan, z_head, z_tail, means, stds, fa_w, dts, seed, noise):
+    def fwd_impl(plan, z_head, z_tail, means, stds, fa_w, dts, seed, noise,
+                 tmask=None):
         B = z_head.shape[0]
         n_arr = len(means)
+        n_tiles = B // tile_b
         kernel = _make_fwd_kernel(T, R, plan, tile_b, tail_w,
                                   mechanistic, has_aug, P, P2, P3, n_arr,
-                                  n_noise)
+                                  n_noise, stats_mode=stats_mode)
         in_specs = []
         inputs = []
         if n_noise == 0:
@@ -553,14 +640,19 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        inputs += [jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
+                   jnp.reshape(dts, (1, -1)).astype(jnp.float32)]
+        if stats_mode:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.append(jnp.reshape(tmask, (1, -1)).astype(jnp.float32))
+        in_specs += [
             pl.BlockSpec((tile_b, 3 * R), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, max(tail_w, 1)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
-        inputs += [jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
-                   jnp.reshape(dts, (1, -1)).astype(jnp.float32),
-                   z_head, z_tail]
+        inputs += [z_head, z_tail]
         for w in means + stds:
             in_specs.append(pl.BlockSpec(w.shape, full,
                                          memory_space=pltpu.VMEM))
@@ -571,20 +663,27 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
 
         out_shape = [jax.ShapeDtypeStruct((T, B, P), jnp.float32)]
         out_specs = [hbm]
+        if stats_mode:
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1, 128),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
         scratch = [pltpu.VMEM((2, tile_b, P), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,))]
-        if mechanistic:
-            out_shape.append(
-                jax.ShapeDtypeStruct((n_evals, B, P2), jnp.float32))
-            out_specs.append(hbm)
-            scratch += [pltpu.VMEM((2, tile_b, P2), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
-        if has_aug:
-            out_shape.append(
-                jax.ShapeDtypeStruct((n_evals, B, P3), jnp.float32))
-            out_specs.append(hbm)
-            scratch += [pltpu.VMEM((2, tile_b, P3), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
+        if not stats_mode:
+            if mechanistic:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_evals, B, P2), jnp.float32))
+                out_specs.append(hbm)
+                scratch += [pltpu.VMEM((2, tile_b, P2), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]
+            if has_aug:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_evals, B, P3), jnp.float32))
+                out_specs.append(hbm)
+                scratch += [pltpu.VMEM((2, tile_b, P3), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]
 
         outs = pl.pallas_call(
             kernel,
@@ -600,18 +699,24 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
             outs = [outs]
         outs = list(outs)
         traj = outs.pop(0)
+        if stats_mode:
+            svec = jnp.sum(outs.pop(0)[:, 0, :], axis=0)     # (128,)
+            r1c = svec[0:2] if mechanistic else None
+            r2c = svec[2:4] if mechanistic else None
+            f2 = svec[4] if has_aug else None
+            return traj, r1c, r2c, f2
         rates = outs.pop(0) if mechanistic else None
         fa = outs.pop(0) if has_aug else None
         return traj, rates, fa
 
     def bwd_impl(plan, z_tail, means, stds, fa_w, dts, seed, noise, traj,
-                 g_traj, g_rates, g_fa):
+                 g_traj, g_rates, g_fa, tmask=None, gstats=None):
         B = traj.shape[1]
         n_arr = len(means)
         n_tiles = B // tile_bwd
         kernel = _make_bwd_kernel(T, R, plan, tile_bwd, tail_w,
                                   mechanistic, has_aug, P, P2, P3, n_arr,
-                                  n_noise)
+                                  n_noise, stats_mode=stats_mode)
         in_specs = []
         inputs = []
         if n_noise == 0:
@@ -620,11 +725,18 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_bwd, max(tail_w, 1)), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
         ]
         inputs += [jnp.reshape(fa_w, (1, 1)).astype(jnp.float32),
-                   jnp.reshape(dts, (1, -1)).astype(jnp.float32), z_tail]
+                   jnp.reshape(dts, (1, -1)).astype(jnp.float32)]
+        if stats_mode:
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                         pl.BlockSpec(memory_space=pltpu.SMEM)]
+            inputs += [jnp.reshape(tmask, (1, -1)).astype(jnp.float32),
+                       jnp.reshape(gstats, (1, -1)).astype(jnp.float32)]
+        in_specs.append(
+            pl.BlockSpec((tile_bwd, max(tail_w, 1)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))
+        inputs.append(z_tail)
         for w in means + stds:
             in_specs.append(pl.BlockSpec(w.shape, full,
                                          memory_space=pltpu.VMEM))
@@ -634,12 +746,13 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
             inputs += list(noise)
         in_specs += [hbm, hbm]
         inputs += [traj, g_traj]
-        if mechanistic:
-            in_specs.append(hbm)
-            inputs.append(g_rates)
-        if has_aug:
-            in_specs.append(hbm)
-            inputs.append(g_fa)
+        if not stats_mode:
+            if mechanistic:
+                in_specs.append(hbm)
+                inputs.append(g_rates)
+            if has_aug:
+                in_specs.append(hbm)
+                inputs.append(g_fa)
 
         out_shape = [
             jax.ShapeDtypeStruct((B, 3 * R), jnp.float32),
@@ -665,12 +778,13 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.VMEM((2, tile_bwd, P), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,))]
-        if mechanistic:
-            scratch += [pltpu.VMEM((2, 4, tile_bwd, P2), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
-        if has_aug:
-            scratch += [pltpu.VMEM((2, 4, tile_bwd, P3), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
+        if not stats_mode:
+            if mechanistic:
+                scratch += [pltpu.VMEM((2, 4, tile_bwd, P2), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]
+            if has_aug:
+                scratch += [pltpu.VMEM((2, 4, tile_bwd, P3), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]
 
         outs = pl.pallas_call(
             kernel,
@@ -690,35 +804,77 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
         gstds = tuple(jnp.sum(o, axis=0) for o in outs[3 + n_arr:])
         return gz0, gztail, gmeans, gstds, gfa_w
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-    def traj_fn(plan, z_head, z_tail, means, stds, fa_w, dts, seed, noise):
-        return fwd_impl(plan, z_head, z_tail, means, stds, fa_w, dts, seed,
-                        noise)
+    if stats_mode:
+        @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+        def traj_fn(plan, z_head, z_tail, means, stds, fa_w, dts, seed,
+                    noise, tmask):
+            return fwd_impl(plan, z_head, z_tail, means, stds, fa_w, dts,
+                            seed, noise, tmask)
 
-    def traj_fwd(plan, z_head, z_tail, means, stds, fa_w, dts, seed, noise):
-        out = fwd_impl(plan, z_head, z_tail, means, stds, fa_w, dts, seed,
-                       noise)
-        return out, (z_tail, means, stds, fa_w, dts, seed, noise, out[0])
+        def traj_fwd(plan, z_head, z_tail, means, stds, fa_w, dts, seed,
+                     noise, tmask):
+            out = fwd_impl(plan, z_head, z_tail, means, stds, fa_w, dts,
+                           seed, noise, tmask)
+            return out, (z_tail, means, stds, fa_w, dts, seed, noise, tmask,
+                         out[0])
 
-    def traj_bwd(plan, res, g):
-        z_tail, means, stds, fa_w, dts, seed, noise, traj = res
-        g_traj, g_rates, g_fa = g
-        gz0, gztail, gmeans, gstds, gfa_w = bwd_impl(
-            plan, z_tail, means, stds, fa_w, dts, seed, noise, traj,
-            g_traj, g_rates, g_fa)
-        if not tail_w:
-            gztail = jnp.zeros_like(z_tail)
-        gnoise = (tuple(jnp.zeros_like(z) for z in noise)
-                  if noise is not None else None)
-        # integer primal (the PRNG seed) takes a float0 cotangent
-        import numpy as np
-        gseed = np.zeros(np.shape(seed), jax.dtypes.float0)
-        return (gz0, gztail, gmeans, gstds, gfa_w, jnp.zeros_like(dts),
-                gseed, gnoise)
+        def traj_bwd(plan, res, g):
+            z_tail, means, stds, fa_w, dts, seed, noise, tmask, traj = res
+            g_traj, g_r1, g_r2, g_f2 = g
+            zer = jnp.zeros((), jnp.float32)
+            gs = [zer] * 5
+            if g_r1 is not None:
+                gs[0], gs[1] = g_r1[0], g_r1[1]
+                gs[2], gs[3] = g_r2[0], g_r2[1]
+            if g_f2 is not None:
+                gs[4] = jnp.asarray(g_f2, jnp.float32)
+            gstats = jnp.stack(gs)
+            gz0, gztail, gmeans, gstds, gfa_w = bwd_impl(
+                plan, z_tail, means, stds, fa_w, dts, seed, noise, traj,
+                g_traj, None, None, tmask=tmask, gstats=gstats)
+            if not tail_w:
+                gztail = jnp.zeros_like(z_tail)
+            gnoise = (tuple(jnp.zeros_like(z) for z in noise)
+                      if noise is not None else None)
+            import numpy as np
+            gseed = np.zeros(np.shape(seed), jax.dtypes.float0)
+            return (gz0, gztail, gmeans, gstds, gfa_w, jnp.zeros_like(dts),
+                    gseed, gnoise, jnp.zeros_like(tmask))
 
-    traj_fn.defvjp(traj_fwd, traj_bwd)
+        traj_fn.defvjp(traj_fwd, traj_bwd)
+    else:
+        @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+        def traj_fn(plan, z_head, z_tail, means, stds, fa_w, dts, seed,
+                    noise):
+            return fwd_impl(plan, z_head, z_tail, means, stds, fa_w, dts,
+                            seed, noise)
 
-    def entry(means_flat, stds_flat, z_cm, fa_w, dts, seed, noise=None):
+        def traj_fwd(plan, z_head, z_tail, means, stds, fa_w, dts, seed,
+                     noise):
+            out = fwd_impl(plan, z_head, z_tail, means, stds, fa_w, dts,
+                           seed, noise)
+            return out, (z_tail, means, stds, fa_w, dts, seed, noise, out[0])
+
+        def traj_bwd(plan, res, g):
+            z_tail, means, stds, fa_w, dts, seed, noise, traj = res
+            g_traj, g_rates, g_fa = g
+            gz0, gztail, gmeans, gstds, gfa_w = bwd_impl(
+                plan, z_tail, means, stds, fa_w, dts, seed, noise, traj,
+                g_traj, g_rates, g_fa)
+            if not tail_w:
+                gztail = jnp.zeros_like(z_tail)
+            gnoise = (tuple(jnp.zeros_like(z) for z in noise)
+                      if noise is not None else None)
+            # integer primal (the PRNG seed) takes a float0 cotangent
+            import numpy as np
+            gseed = np.zeros(np.shape(seed), jax.dtypes.float0)
+            return (gz0, gztail, gmeans, gstds, gfa_w, jnp.zeros_like(dts),
+                    gseed, gnoise)
+
+        traj_fn.defvjp(traj_fwd, traj_bwd)
+
+    def entry(means_flat, stds_flat, z_cm, fa_w, dts, seed, noise=None,
+              tmask=None):
         """means_flat/stds_flat: traceable CM-permuted flat lists (identical
         structure); z_cm: (B, L*R); seed: int32 scalar array; dts: (T-1,)."""
         def pack(flat):
@@ -743,6 +899,13 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
         z_tail = z_cm[:, 3 * R:] if tail_w else jnp.zeros((B, 1),
                                                           jnp.float32)
         seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
+        if stats_mode:
+            traj, r1, r2, f2 = traj_fn(plan, z_head, z_tail, means, stds,
+                                       jnp.asarray(fa_w, jnp.float32),
+                                       jnp.asarray(dts, jnp.float32),
+                                       seed_arr, noise,
+                                       jnp.asarray(tmask, jnp.float32))
+            return traj[..., : 3 * R], r1, r2, f2
         traj, rates, fa = traj_fn(plan, z_head, z_tail, means, stds,
                                   jnp.asarray(fa_w, jnp.float32),
                                   jnp.asarray(dts, jnp.float32),
@@ -757,6 +920,7 @@ def _get_bayes_train_traj(T, R, L, n_fp_layers, n_aug_layers, tile_b,
 def fused_bayes_train_trajectory(means_flat, stds_flat, z_cm, fa_w, dts,
                                  seed, *, T, R, L, n_fp_layers, n_aug_layers,
                                  tile_b=1024, tile_bwd=256,
+                                 stats_mode: bool = False, tmask=None,
                                  interpret: Optional[bool] = None,
                                  noise: Optional[Sequence] = None):
     """Differentiable fused Bayesian RK4(3/8) trajectory (training path).
@@ -804,6 +968,9 @@ def fused_bayes_train_trajectory(means_flat, stds_flat, z_cm, fa_w, dts,
     entry = _get_bayes_train_traj(
         int(T), int(R), int(L), int(n_fp_layers), int(n_aug_layers),
         int(tile), int(tbwd), interpret,
-        0 if noise is None else len(noise))
+        0 if noise is None else len(noise), bool(stats_mode))
+    if stats_mode and tmask is None:
+        tmask = jnp.ones((int(T) - 1,), jnp.float32)
     return entry(tuple(means_flat), tuple(stds_flat), z_cm, fa_w, dts, seed,
-                 noise=tuple(noise) if noise is not None else None)
+                 noise=tuple(noise) if noise is not None else None,
+                 tmask=tmask)

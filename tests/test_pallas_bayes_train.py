@@ -263,3 +263,67 @@ def test_model_level_fused_bayes_apply(ode_name):
         std_leaves = [l.w_std for l in jax.tree.leaves(
             g_ode, is_leaf=lambda x: hasattr(x, "w_std"))]
         assert any(float(jnp.max(jnp.abs(l))) > 0 for l in std_leaves)
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_stats_mode_value_and_grad_parity(name):
+    """stats_mode: kernel-reduced masked sufficient statistics (and their
+    cotangents, reconstructed in the backward from the re-derived noise)
+    must match jnp reductions over the injected-noise oracle's aux."""
+    from fiude_tpu.ops.pallas_train import RATE_SHIFT
+
+    case = _build_case(name, jax.random.PRNGKey(hash(name) % (2 ** 31)))
+    kw = dict(T=case["T"], R=case["R"], L=case["L"],
+              n_fp_layers=case["n_fp"], n_aug_layers=case["n_aug"])
+    R = case["R"]
+    tmask = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)[: case["T"] - 1]
+    emask = jnp.repeat(tmask, 4).reshape(-1, 1, 1)  # per-eval mask
+
+    def fused(means, stds, z, fa_w):
+        traj, r1, r2, f2 = fused_bayes_train_trajectory(
+            means, stds, z, fa_w, case["dts"], jnp.int32(0),
+            noise=case["noise"], stats_mode=True, tmask=tmask, **kw)
+        return traj, r1, r2, f2
+
+    def oracle(means, stds, z, fa_w):
+        traj, rates, fa = _oracle(means, stds, z, fa_w, case["dts"],
+                                  case["noise"], T=case["T"], R=case["R"],
+                                  L=case["L"], n_fp=case["n_fp"],
+                                  n_aug=case["n_aug"])
+        r1 = r2 = f2 = None
+        if rates is not None:
+            d = rates - jnp.asarray(RATE_SHIFT, rates.dtype).repeat(R)
+            r1 = jnp.stack([jnp.sum(d[..., :R] * emask),
+                            jnp.sum(d[..., R:] * emask)])
+            r2 = jnp.stack([jnp.sum(jnp.square(d[..., :R]) * emask),
+                            jnp.sum(jnp.square(d[..., R:]) * emask)])
+        if fa is not None:
+            f2 = jnp.sum(jnp.square(fa) * emask)
+        return traj[..., : 3 * R], r1, r2, f2
+
+    def loss(fn, *a):
+        traj, r1, r2, f2 = fn(*a)
+        s = jnp.sum(traj * jnp.cos(0.1 * traj))
+        if r1 is not None:
+            s = s + 0.5 * jnp.sum(jnp.sin(r1)) + 0.1 * jnp.sum(r2)
+        if f2 is not None:
+            s = s + 0.25 * jnp.tanh(f2) + 0.05 * f2
+        return s
+
+    args = (case["means"], case["stds"], case["z"], jnp.float32(0.7))
+    out_f, out_o = fused(*args), oracle(*args)
+    for a, b, what in zip(out_f, out_o, ("traj", "r1", "r2", "f2")):
+        if b is None:
+            assert a is None, what
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5, err_msg=what)
+
+    g_f = jax.grad(lambda *a: loss(fused, *a), argnums=(0, 1, 2, 3))(*args)
+    g_o = jax.grad(lambda *a: loss(oracle, *a), argnums=(0, 1, 2, 3))(*args)
+    for gf, go, what in zip(g_f, g_o, ("means", "stds", "z", "fa_w")):
+        for leaf_f, leaf_o in zip(jax.tree.leaves(gf), jax.tree.leaves(go)):
+            scale = max(1.0, float(jnp.max(jnp.abs(leaf_o))))
+            np.testing.assert_allclose(
+                np.asarray(leaf_f), np.asarray(leaf_o),
+                rtol=2e-3, atol=1e-4 * scale, err_msg=what)
