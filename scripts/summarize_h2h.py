@@ -1,0 +1,76 @@
+"""Render docs/head_to_head.csv as a torch-vs-fiude comparison table.
+
+One output row per (region, ode_name, season, num) cell with both
+frameworks' per-horizon NLL, mean skill, and wall-clock, plus a verdict
+column (which framework wins mean NLL).  Markdown to stdout — paste into
+docs/RESULTS_SYNTH.md.
+
+Usage: python scripts/summarize_h2h.py [docs/head_to_head] [--agg]
+  --agg also prints a per-(region, ode) aggregate over seeds.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def load(path: str) -> pd.DataFrame:
+    df = pd.read_csv(path + ".csv", index_col=0)
+    nll_cols = [c for c in df.columns
+                if c.split()[0].isdigit() and not c.startswith("skill")]
+    skill_cols = [c for c in df.columns if c.startswith("skill")]
+    df["mean_nll"] = df[nll_cols].mean(axis=1)
+    df["mean_skill"] = df[skill_cols].mean(axis=1)
+    return df, nll_cols
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+        else "docs/head_to_head"
+    df, nll_cols = load(path)
+    keys = ["region", "ode_name", "test_season", "num"]
+
+    # NLL columns are named "<season> <window+g-1>"; the matching skill
+    # columns carry the true horizon in days ("skill <season> <g>")
+    skill_cols = [c for c in df.columns if c.startswith("skill")]
+    horizons = [c.split()[2] for c in skill_cols] or \
+        [c.split()[1] for c in nll_cols]
+    print("| region | model | num | side | NLL @" +
+          "d / @".join(horizons) + "d | mean NLL | mean skill | train s |")
+    print("|" + "---|" * 8)
+    for key, cell in df.groupby(keys, sort=True):
+        region, ode, season, num = key
+        for _, row in cell.sort_values("framework").iterrows():
+            nlls = " / ".join(f"{row[c]:.2f}" for c in nll_cols)
+            print(f"| {region} | {ode} | {int(num)} | {row['framework']} | "
+                  f"{nlls} | {row['mean_nll']:.2f} | "
+                  f"{row['mean_skill']:.3f} | {row['train_seconds']:.0f} |")
+        if set(cell["framework"]) == {"torch", "fiude"}:
+            t = cell[cell.framework == "torch"]["mean_nll"].iloc[0]
+            f = cell[cell.framework == "fiude"]["mean_nll"].iloc[0]
+            win = "fiude" if f < t else "torch"
+            print(f"| | | | **-> {win} wins** (ΔNLL {t - f:+.2f}) | | | | |")
+
+    if "--agg" in sys.argv:
+        print("\n### Aggregate over seeds (mean ± std of per-seed mean NLL)\n")
+        print("| region | model | torch | fiude | verdict |")
+        print("|---|---|---|---|---|")
+        for (region, ode), cell in df.groupby(["region", "ode_name"]):
+            vals = {}
+            for side in ("torch", "fiude"):
+                v = cell[cell.framework == side]["mean_nll"]
+                vals[side] = (f"{v.mean():.2f} ± {v.std():.2f} (n={len(v)})"
+                              if len(v) else "—")
+            t = cell[cell.framework == "torch"]["mean_nll"].mean()
+            f = cell[cell.framework == "fiude"]["mean_nll"].mean()
+            verdict = ("—" if np.isnan(t) or np.isnan(f)
+                       else ("fiude" if f < t else "torch"))
+            print(f"| {region} | {ode} | {vals['torch']} | {vals['fiude']} |"
+                  f" {verdict} |")
+
+
+if __name__ == "__main__":
+    main()
