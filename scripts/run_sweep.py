@@ -30,8 +30,9 @@ def main():
                     help="no-interpolation mode: weekly-only -1-masked targets")
     ap.add_argument("--fused-train", action="store_true",
                     help="backprop through the fused Pallas trajectory "
-                    "kernels (~2x steps on the daily fill-1 grid; "
-                    "rk4/non-Bayes only, scan fallback otherwise)")
+                    "kernels (~2x steps on the daily fill-1 grid; rk4 only "
+                    "— Bayes families use the variational fused kernels, "
+                    "non-rk4 methods fall back to the XLA scan)")
     ap.add_argument("--regions", nargs="+", default=["US", "hhs", "state"])
     ap.add_argument("--models", nargs="+", default=["CONN", "UONN"])
     ap.add_argument("--seasons", nargs="+", type=int,
