@@ -57,6 +57,11 @@ def main():
                          "as device-parallel populations over a config mesh")
     args = ap.parse_args()
 
+    # persistent compilation cache: repeated shapes (and crash-resumed
+    # sweeps) skip the multi-minute remote Mosaic compiles entirely
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+
     configs = grid(region=args.regions, epochs=args.epochs,
                    window_size=args.windows, gamma=args.gammas,
                    latent_dim=[8], num=args.nums, test_season=args.seasons,
