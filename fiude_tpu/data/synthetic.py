@@ -75,8 +75,10 @@ def synthetic_daily_ili(
     a season (one dominant strain nationally — the property the reference's
     multi-region hhs/state results ride on), so each season draws shared
     (beta, gamma, i0, onset) "strain" parameters and each region perturbs
-    them; at 0 every region draws its own season independently (the
-    pre-round-3 behavior, which made the synthetic hhs task strictly harder
+    them; at 0 every region draws its own season independently
+    (distributionally equivalent to the pre-round-3 behavior — the loop
+    order changed, so the same seed does NOT reproduce pre-round-3 trees
+    bit-for-bit — which made the synthetic hhs task strictly harder
     than the real data: 10 nearly-independent processes for one shared
     encoder — see docs/RESULTS_SYNTH.md).
     """

@@ -316,6 +316,15 @@ class UDEForecaster:
             else:
                 stats_kwargs = {}
             if self.is_bayes:
+                if jax.default_backend() != "tpu":
+                    import warnings
+                    warnings.warn(
+                        "Bayes fused_train on a non-TPU backend runs under "
+                        "the Mosaic interpreter, whose on-core PRNG is "
+                        "stubbed to zeros: variational weight noise is zero "
+                        "and w_std gets no reparameterization gradient. Use "
+                        "fused_train=False (the XLA scan path) for real "
+                        "CPU/GPU training.", stacklevel=2)
                 from fiude_tpu.ops.pallas_bayes_train import (
                     bayes_cm_permute_traceable, fused_bayes_train_trajectory,
                 )

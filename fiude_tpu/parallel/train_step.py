@@ -140,7 +140,18 @@ def make_fused_sharded_train_step(
     Pass a model built with ``fused_train=True``.  ``eps``'s sample axis
     must divide by the axis size.  Reference hot loop this scales:
     ``lib/VAE.py:137,200-223``.
+
+    Bayes families are NOT supported here: ``model.apply`` is called without
+    an rng (a Bayes apply draws its weight-noise seed from one), and naively
+    threading per-shard rngs would give each device a DIFFERENT weight draw,
+    silently breaking the replicated-weights contract above.  Use the
+    single-chip fused path or the XLA-scan sharded step for Bayes.
     """
+    if getattr(model, "is_bayes", False):
+        raise ValueError(
+            "make_fused_sharded_train_step does not support Bayes models: "
+            "per-shard rng threading would desynchronize the variational "
+            "weight draw across devices (see docstring)")
     try:
         from jax import shard_map
     except ImportError:  # pre-0.8 jax

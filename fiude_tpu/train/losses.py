@@ -230,9 +230,10 @@ def compute_loss_sharded(
     ``extras.latent``/``extras.aux`` carry the matching folded-row shard;
     ``y_true`` and ``extras.mean/std`` are replicated.  Cross-sample
     statistics (ensemble moments for the NLL, the empirical rate posterior,
-    the Fa/reg reductions) are assembled from sufficient statistics in ONE
-    ``psum`` round — a single collective of a few KB instead of gathering
-    the (B, S, T, R) ensemble.
+    the Fa/reg reductions) are assembled from sufficient statistics in TWO
+    small ``psum`` rounds — the stop-gradient centering round (which also
+    carries ``n_dev``) and the live stats round — each a single collective
+    of a few KB instead of gathering the (B, S, T, R) ensemble.
 
     Gradient contract (pinned by ``tests/test_parallel.py``): under
     ``shard_map(..., check_vma=False)`` the transpose of ``psum`` is
@@ -273,6 +274,7 @@ def compute_loss_sharded(
                                            or "fa_sq" in aux)
     if loss_cfg.nll:
         center["d1"] = jnp.sum(d, axis=1)
+        center["one"] = jnp.asarray(1.0, jnp.float32)  # n_dev, same round
     if loss_cfg.kl_p and not aux_stats:
         rates = aux["rates"]
         rflat = rates.reshape(-1, 2)
@@ -290,8 +292,8 @@ def compute_loss_sharded(
             jax.lax.psum(jax.lax.stop_gradient(center), axis))
 
     if loss_cfg.nll:
-        n_dev = jax.lax.psum(jnp.asarray(1.0, jnp.float32), axis)
-        c_d = center["d1"] / (s_local * jax.lax.stop_gradient(n_dev))
+        n_dev = center["one"]
+        c_d = center["d1"] / (s_local * n_dev)
         dc = d - c_d[:, None]
         stats["d1"] = jnp.sum(dc, axis=1)
         stats["d2"] = jnp.sum(jnp.square(dc), axis=1)

@@ -234,15 +234,38 @@ def main():
     ap.add_argument("--no-padded", action="store_true",
                     help="exact staged curriculum (one re-trace per stage) "
                          "instead of the masked single-compilation one")
+    ap.add_argument("--platform", default="ambient",
+                    choices=["ambient", "cpu"],
+                    help="JAX platform for the fiude side. 'cpu' makes the "
+                         "accuracy cells immune to axon tunnel outages "
+                         "(identical recipe/accuracy, XLA scan path; the "
+                         "wall-clock column then measures single-host CPU). "
+                         "'ambient' uses the machine default (axon TPU here) "
+                         "and serializes through the chip lock.")
     args = ap.parse_args()
 
     # persistent compilation cache: repeated configs (and reruns) skip the
     # multi-minute remote Mosaic compiles entirely
     import jax
+    if args.platform == "cpu":
+        # env vars alone don't override this machine's sitecustomize pin;
+        # the config knob must be set before backend init (see CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 
     tree = ensure_tree(os.path.abspath(args.tree))
     out = os.path.abspath(args.out)
+    fused = not args.no_fused and args.platform != "cpu"
+
+    import contextlib
+
+    def maybe_chip_lock():
+        # fiude-on-TPU cells serialize against other chip jobs (bench,
+        # sweeps); the CPU platform needs no lock
+        if args.platform == "ambient":
+            from fiude_tpu.utils.chiplock import chip_lock
+            return chip_lock()
+        return contextlib.nullcontext()
 
     def have_row(framework: str, region: str, ode_label: str, season: int,
                  num: int) -> bool:
@@ -264,8 +287,11 @@ def main():
                      "epochs": cfg.epochs, "window_size": cfg.window_size,
                      "gamma": cfg.gamma, "latent_dim": cfg.latent_dim,
                      "num": cfg.num}
+        platform = ("cpu-1thread" if framework == "torch" else
+                    ("cpu" if args.platform == "cpu" else "tpu"))
         upsert_results_row(out, variables,
-                           {**metrics, "train_seconds": round(secs, 1)})
+                           {**metrics, "train_seconds": round(secs, 1),
+                            "platform": platform})
         nlls = [v for k, v in metrics.items() if not k.startswith("skill")]
         print(f"[{framework}] {ode_label} {cfg.region} {cfg.test_season}: "
               f"mean NLL {np.mean(nlls):.3f}, {secs:.0f}s", flush=True)
@@ -297,11 +323,12 @@ def main():
                                 tree, cfg, weights_root=args.weights_root,
                                 threads=args.torch_threads)
                         else:
-                            m, secs = train_fiude_config(
-                                tree, cfg, weights_root=args.weights_root,
-                                fused=not args.no_fused,
-                                padded=not args.no_padded,
-                                seed=num)
+                            with maybe_chip_lock():
+                                m, secs = train_fiude_config(
+                                    tree, cfg, weights_root=args.weights_root,
+                                    fused=fused,
+                                    padded=not args.no_padded,
+                                    seed=num)
                         record(cfg, side, ode_name, m, secs)
                 if args.transfer and "CONN" in args.models:
                     cfg = ExperimentConfig(
@@ -321,10 +348,11 @@ def main():
                                 transfer_from=conn_prefix[side],
                                 threads=args.torch_threads)
                         else:
-                            m, secs = train_fiude_config(
-                                tree, cfg, weights_root=args.weights_root,
-                                transfer_from=conn_prefix[side],
-                                fused=not args.no_fused, seed=num)
+                            with maybe_chip_lock():
+                                m, secs = train_fiude_config(
+                                    tree, cfg, weights_root=args.weights_root,
+                                    transfer_from=conn_prefix[side],
+                                    fused=fused, seed=num)
                         record(cfg, side, "UONN_pre", m, secs)
 
 

@@ -55,7 +55,18 @@ def main():
     ap.add_argument("--population", action="store_true",
                     help="train same-shape config groups (the `nums` axis) "
                          "as device-parallel populations over a config mesh")
+    ap.add_argument("--chip-lock", action="store_true",
+                    help="serialize against other TPU jobs (bench, "
+                         "head-to-head) via the advisory chip lock; use "
+                         "whenever the sweep runs on the shared axon chip")
     args = ap.parse_args()
+
+    if args.chip_lock:
+        import contextlib
+
+        from fiude_tpu.utils.chiplock import chip_lock
+        stack = contextlib.ExitStack()
+        stack.enter_context(chip_lock())
 
     # persistent compilation cache: repeated shapes (and crash-resumed
     # sweeps) skip the multi-minute remote Mosaic compiles entirely

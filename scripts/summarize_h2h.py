@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 
 
-def load(path: str) -> pd.DataFrame:
+def load(path: str) -> tuple[pd.DataFrame, list[str]]:
     df = pd.read_csv(path + ".csv", index_col=0)
     nll_cols = [c for c in df.columns
                 if c.split()[0].isdigit() and not c.startswith("skill")]
@@ -55,17 +55,28 @@ def main() -> None:
             print(f"| | | | **-> {win} wins** (ΔNLL {t - f:+.2f}) | | | | |")
 
     if "--agg" in sys.argv:
-        print("\n### Aggregate over seeds (mean ± std of per-seed mean NLL)\n")
-        print("| region | model | torch | fiude | verdict |")
+        # diverged replicates (e.g. the torch US CONN num=2 row with NLL in
+        # the hundreds) would dominate a mean ± std and distort the verdict;
+        # aggregate with the median and flag how many cells were diverged
+        DIVERGED_NLL = 50.0
+        print("\n### Aggregate over seeds (median of per-seed mean NLL; "
+              f"cells with mean NLL > {DIVERGED_NLL:.0f} counted as "
+              "diverged)\n")
+        print("| region | model | torch | fiude | verdict (median NLL) |")
         print("|---|---|---|---|---|")
         for (region, ode), cell in df.groupby(["region", "ode_name"]):
-            vals = {}
+            vals, meds = {}, {}
             for side in ("torch", "fiude"):
                 v = cell[cell.framework == side]["mean_nll"]
-                vals[side] = (f"{v.mean():.2f} ± {v.std():.2f} (n={len(v)})"
-                              if len(v) else "—")
-            t = cell[cell.framework == "torch"]["mean_nll"].mean()
-            f = cell[cell.framework == "fiude"]["mean_nll"].mean()
+                v = v[np.isfinite(v)]
+                bad = int((v > DIVERGED_NLL).sum())
+                ok = v[v <= DIVERGED_NLL]
+                meds[side] = ok.median() if len(ok) else np.nan
+                tag = f" + {bad} diverged" if bad else ""
+                vals[side] = (f"{meds[side]:.2f} (n={len(ok)}{tag})"
+                              if len(ok) else
+                              (f"all {bad} diverged" if bad else "—"))
+            t, f = meds["torch"], meds["fiude"]
             verdict = ("—" if np.isnan(t) or np.isnan(f)
                        else ("fiude" if f < t else "torch"))
             print(f"| {region} | {ode} | {vals['torch']} | {vals['fiude']} |"

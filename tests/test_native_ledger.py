@@ -80,7 +80,10 @@ def test_multiprocess_mixed_backend_race(tmp_path):
     ]
     wins = []
     for p in procs:
-        out, _ = p.communicate(timeout=120)
+        # generous deadline: 8 fresh interpreters on a loaded single-core
+        # box (e.g. a concurrent sweep/pytest) can take minutes to start;
+        # 120 s flaked under contention (round-3 verdict weak #8)
+        out, _ = p.communicate(timeout=600)
         assert p.returncode == 0
         wins.extend(int(w) for w in out.split())
     assert sorted(wins) == list(range(n_keys))
