@@ -31,6 +31,14 @@ while [ "$(remaining)" -gt 600 ]; do
     timeout 3600 python bench.py >> "$LOG" 2>&1
     echo "[watch] bench rc=$?" >> "$LOG"
 
+    # fast, high-value: warm steady-state columns for the h2h table
+    # (minutes once the compile cache is warm; before the long sweep in
+    # case the tunnel window is short)
+    echo "[watch] running h2h steady timing" >> "$LOG"
+    timeout 5400 python scripts/h2h_steady_timing.py \
+        --out "$PWD/docs/head_to_head" >> "$LOG" 2>&1
+    echo "[watch] steady timing rc=$?" >> "$LOG"
+
     left=$(remaining)
     if [ "$left" -gt 1200 ]; then
       echo "[watch] launching Bayes sweep (budget ${left}s)" >> "$LOG"
