@@ -39,6 +39,20 @@ while [ "$(remaining)" -gt 600 ]; do
         --out "$PWD/docs/head_to_head" >> "$LOG" 2>&1
     echo "[watch] steady timing rc=$?" >> "$LOG"
 
+    # remaining h2h cells on the chip (VERDICT #1 outranks the sweep):
+    # warm-cache TPU cells are ~minutes each; --resume skips everything the
+    # CPU queue already landed, and the chip lock serializes with it
+    left=$(remaining)
+    if [ "$left" -gt 1800 ]; then
+      echo "[watch] sweeping remaining h2h cells on TPU (budget ${left}s)" >> "$LOG"
+      timeout $(( left - 900 )) python scripts/head_to_head.py \
+          --tree /tmp/h2h --out docs/head_to_head --resume \
+          --weights-root /tmp/h2h_runs --platform ambient \
+          --regions US hhs --nums 1 2 --sides torch fiude \
+          --models CONN UONN SONN --transfer >> "$LOG" 2>&1
+      echo "[watch] h2h-on-tpu rc=$?" >> "$LOG"
+    fi
+
     left=$(remaining)
     if [ "$left" -gt 1200 ]; then
       echo "[watch] launching Bayes sweep (budget ${left}s)" >> "$LOG"
