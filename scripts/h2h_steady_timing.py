@@ -124,7 +124,48 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--platform", default="ambient",
                     choices=["ambient", "cpu"])
+    ap.add_argument("--cache", default="/tmp/h2h_steady_cache.json",
+                    help="sidecar of measured (region, family) -> numbers; "
+                         "lets --apply-only stamp rows that land after the "
+                         "measurement pass without re-touching the chip")
+    ap.add_argument("--apply-only", action="store_true",
+                    help="no measurement: re-apply the cached numbers to "
+                         "whatever rows are in the CSV now")
     args = ap.parse_args()
+
+    import json
+
+    cache = {}
+    if os.path.exists(args.cache):
+        with open(args.cache) as fh:
+            cache = json.load(fh)
+
+    def apply_cell(region: str, family: str, entry: dict):
+        import pandas as pd
+
+        from fiude_tpu.utils.results import upsert_results_row
+        csv = os.path.abspath(args.out) + ".csv"
+        if not os.path.exists(csv):
+            return
+        df = pd.read_csv(csv, index_col=0)
+        hit = df[(df.framework == "fiude") & (df.region == region)
+                 & (df.ode_name == family)]
+        for _, row in hit.iterrows():
+            upsert_results_row(
+                os.path.abspath(args.out),
+                {"framework": "fiude", "region": region,
+                 "ode_name": family, "test_season": row["test_season"],
+                 "num": row["num"]},
+                {"steady_ms_per_step": entry["ms"],
+                 "train_seconds_steady": entry["steady_s"],
+                 "steady_platform": entry["platform"]})
+
+    if args.apply_only:
+        for key, entry in cache.items():
+            region, family = key.split("/")
+            apply_cell(region, family, entry)
+            print(f"[steady] re-applied {key}: {entry}", flush=True)
+        return
 
     import jax
     if args.platform == "cpu":
@@ -134,7 +175,6 @@ def main():
     import contextlib
 
     from fiude_tpu.utils.chiplock import chip_lock
-    from fiude_tpu.utils.results import upsert_results_row
 
     lock = (chip_lock() if args.platform == "ambient"
             else contextlib.nullcontext())
@@ -152,24 +192,12 @@ def main():
                       f"({platform}, fused={fused}), {total_steps} steps "
                       f"({n_batches} batches/epoch) -> {steady_s:.1f}s",
                       flush=True)
-                # upsert into every fiude row of this (region, family)
-                import pandas as pd
-                csv = os.path.abspath(args.out) + ".csv"
-                if os.path.exists(csv):
-                    df = pd.read_csv(csv, index_col=0)
-                    hit = df[(df.framework == "fiude")
-                             & (df.region == region)
-                             & (df.ode_name == family)]
-                    for _, row in hit.iterrows():
-                        upsert_results_row(
-                            os.path.abspath(args.out),
-                            {"framework": "fiude", "region": region,
-                             "ode_name": family,
-                             "test_season": row["test_season"],
-                             "num": row["num"]},
-                            {"steady_ms_per_step": round(ms, 2),
-                             "train_seconds_steady": round(steady_s, 1),
-                             "steady_platform": platform})
+                entry = {"ms": round(ms, 2), "steady_s": round(steady_s, 1),
+                         "platform": platform, "total_steps": total_steps}
+                cache[f"{region}/{family}"] = entry
+                with open(args.cache, "w") as fh:
+                    json.dump(cache, fh, indent=1)
+                apply_cell(region, family, entry)
 
 
 if __name__ == "__main__":
