@@ -261,10 +261,13 @@ def main():
 
     def maybe_chip_lock():
         # fiude-on-TPU cells serialize against other chip jobs (bench,
-        # sweeps); the CPU platform needs no lock
+        # sweeps); the CPU platform needs no lock.  Bounded wait: if a
+        # long-running sweep holds the chip, raising Timeout fails this
+        # invocation so the queue's retry re-probes and falls back to CPU
+        # instead of blocking behind a multi-hour holder.
         if args.platform == "ambient":
             from fiude_tpu.utils.chiplock import chip_lock
-            return chip_lock()
+            return chip_lock(timeout=1800)
         return contextlib.nullcontext()
 
     def have_row(framework: str, region: str, ode_label: str, season: int,
