@@ -48,7 +48,7 @@ while [ "$(remaining)" -gt 600 ]; do
       timeout $(( left - 900 )) python scripts/head_to_head.py \
           --tree /tmp/h2h --out docs/head_to_head --resume \
           --weights-root /tmp/h2h_runs --platform ambient \
-          --regions US hhs --nums 1 2 --sides torch fiude \
+          --regions US hhs --nums 1 2 --sides fiude \
           --models CONN UONN SONN --transfer >> "$LOG" 2>&1
       echo "[watch] h2h-on-tpu rc=$?" >> "$LOG"
     fi
