@@ -65,6 +65,22 @@ while [ "$(remaining)" -gt 600 ]; do
           >> "$LOG" 2>&1
       echo "[watch] sweep rc=$? at $(date -u)" >> "$LOG"
     fi
+
+    # stage B (only with time left): broaden the table toward >=100 rows —
+    # all six families x US/hhs x two windows x 3 seeds at a 60-epoch
+    # budget, 2 seasons each; ledger-resumable, deadline-bounded
+    left=$(remaining)
+    if [ "$left" -gt 1800 ]; then
+      echo "[watch] launching stage-B grid sweep (budget ${left}s)" >> "$LOG"
+      timeout $(( left - 600 )) python scripts/run_sweep.py \
+          --synthetic --regions US hhs \
+          --models CONN UONN SONN CONNb UONNb SONNb \
+          --seasons 2015 2016 --epochs 60 --windows 7 15 --gammas 28 \
+          --nums 1 2 3 --padded --fused-train --chip-lock \
+          --out "$PWD/docs/results_table_synth" --work-dir /tmp/grid_sweep \
+          >> "$LOG" 2>&1
+      echo "[watch] stage-B rc=$? at $(date -u)" >> "$LOG"
+    fi
     echo "[watch] done; exiting" >> "$LOG"
     exit 0
   fi
