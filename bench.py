@@ -91,6 +91,11 @@ def run_benchmarks():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: a bench run (or any chip job) warms the
+    # cache the next cold process hits, cutting remote Mosaic compiles from
+    # minutes to seconds (cache survives across processes, not reboots)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+
     from fiude_tpu.models import UDEForecaster
     from fiude_tpu.models.vae import reparam
     from fiude_tpu.ops.pallas_ude import (
