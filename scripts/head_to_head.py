@@ -22,6 +22,7 @@ Usage (full head-to-head, hours on the torch side):
 from __future__ import annotations
 
 import argparse
+import glob as _glob
 import os
 import sys
 import time
@@ -345,6 +346,32 @@ def main():
                             print(f"[skip] {side} UONN_pre {region} "
                                   f"{season} num={num}", flush=True)
                             continue
+                        if not _glob.glob(conn_prefix[side] + "*"):
+                            # The CONN row can predate a reboot that wiped
+                            # the weights under --weights-root; regenerate
+                            # the prerequisite (deterministic retrain; the
+                            # upsert overwrites the same-key row).
+                            conn_cfg = ExperimentConfig(
+                                region=region, ode_name="CONN",
+                                test_season=season, epochs=epochs,
+                                window_size=args.window, gamma=args.gamma,
+                                num=num)
+                            print(f"[regen] {side} CONN weights for "
+                                  f"{region} {season} num={num}", flush=True)
+                            if side == "torch":
+                                m0, s0 = train_torch_config(
+                                    tree, conn_cfg,
+                                    weights_root=args.weights_root,
+                                    threads=args.torch_threads)
+                            else:
+                                with maybe_chip_lock():
+                                    m0, s0 = train_fiude_config(
+                                        tree, conn_cfg,
+                                        weights_root=args.weights_root,
+                                        fused=fused,
+                                        padded=not args.no_padded,
+                                        seed=num)
+                            record(conn_cfg, side, "CONN", m0, s0)
                         if side == "torch":
                             m, secs = train_torch_config(
                                 tree, cfg, weights_root=args.weights_root,
