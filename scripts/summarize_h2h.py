@@ -18,6 +18,8 @@ import pandas as pd
 
 
 def load(path: str) -> tuple[pd.DataFrame, list[str]]:
+    if path.endswith(".csv"):        # accept both the prefix and the file
+        path = path[: -len(".csv")]
     df = pd.read_csv(path + ".csv", index_col=0)
     nll_cols = [c for c in df.columns
                 if c.split()[0].isdigit() and not c.startswith("skill")]
@@ -39,20 +41,26 @@ def main() -> None:
     horizons = [c.split()[2] for c in skill_cols] or \
         [c.split()[1] for c in nll_cols]
     print("| region | model | num | side | NLL @" +
-          "d / @".join(horizons) + "d | mean NLL | mean skill | train s |")
-    print("|" + "---|" * 8)
+          "d / @".join(horizons) + "d | mean NLL | mean skill | train s "
+          "| steady s |")
+    print("|" + "---|" * 9)
     for key, cell in df.groupby(keys, sort=True):
         region, ode, season, num = key
         for _, row in cell.sort_values("framework").iterrows():
             nlls = " / ".join(f"{row[c]:.2f}" for c in nll_cols)
+            steady = row.get("train_seconds_steady", np.nan)
+            steady_s = (f"{steady:.0f} ({row.get('steady_platform', '')})"
+                        if np.isfinite(steady) else "")
             print(f"| {region} | {ode} | {int(num)} | {row['framework']} | "
                   f"{nlls} | {row['mean_nll']:.2f} | "
-                  f"{row['mean_skill']:.3f} | {row['train_seconds']:.0f} |")
+                  f"{row['mean_skill']:.3f} | {row['train_seconds']:.0f} "
+                  f"| {steady_s} |")
         if set(cell["framework"]) == {"torch", "fiude"}:
             t = cell[cell.framework == "torch"]["mean_nll"].iloc[0]
             f = cell[cell.framework == "fiude"]["mean_nll"].iloc[0]
             win = "fiude" if f < t else "torch"
-            print(f"| | | | **-> {win} wins** (ΔNLL {t - f:+.2f}) | | | | |")
+            print(f"| | | | **-> {win} wins** (ΔNLL {t - f:+.2f}) "
+                  f"| | | | | |")
 
     if "--agg" in sys.argv:
         # diverged replicates (e.g. the torch US CONN num=2 row with NLL in
