@@ -271,9 +271,9 @@ def main():
             return chip_lock(timeout=1800)
         return contextlib.nullcontext()
 
-    def have_row(framework: str, region: str, ode_label: str, season: int,
-                 num: int) -> bool:
-        if not (args.resume and os.path.exists(out + ".csv")):
+    def row_exists(framework: str, region: str, ode_label: str, season: int,
+                   num: int) -> bool:
+        if not os.path.exists(out + ".csv"):
             return False
         import pandas as pd
         df = pd.read_csv(out + ".csv", index_col=0)
@@ -283,6 +283,17 @@ def main():
                  & (df["ode_name"] == ode_label)
                  & (df["test_season"] == season) & (df["num"] == num)]
         return len(hit) > 0
+
+    def have_row(framework: str, region: str, ode_label: str, season: int,
+                 num: int) -> bool:
+        return args.resume and row_exists(framework, region, ode_label,
+                                          season, num)
+
+    def have_weights(prefix: str) -> bool:
+        # all three state-dict parts, not just any `prefix*` match (the
+        # sidecar norms.txt would otherwise mask a partial wipe)
+        return all(_glob.glob(prefix + part + ".*")
+                   for part in ("enc", "ode", "dec"))
 
     def record(cfg: ExperimentConfig, framework: str, ode_label: str,
                metrics, secs: float):
@@ -346,11 +357,13 @@ def main():
                             print(f"[skip] {side} UONN_pre {region} "
                                   f"{season} num={num}", flush=True)
                             continue
-                        if not _glob.glob(conn_prefix[side] + "*"):
+                        if not have_weights(conn_prefix[side]):
                             # The CONN row can predate a reboot that wiped
                             # the weights under --weights-root; regenerate
-                            # the prerequisite (deterministic retrain; the
-                            # upsert overwrites the same-key row).
+                            # the prerequisite.  Only publish the regen
+                            # metrics when no row exists yet — a regen on a
+                            # different platform/fused setting must never
+                            # silently overwrite an already-published cell.
                             conn_cfg = ExperimentConfig(
                                 region=region, ode_name="CONN",
                                 test_season=season, epochs=epochs,
@@ -371,7 +384,11 @@ def main():
                                         fused=fused,
                                         padded=not args.no_padded,
                                         seed=num)
-                            record(conn_cfg, side, "CONN", m0, s0)
+                            if row_exists(side, region, "CONN", season, num):
+                                print(f"[regen] weights restored; published "
+                                      f"CONN row left untouched", flush=True)
+                            else:
+                                record(conn_cfg, side, "CONN", m0, s0)
                         if side == "torch":
                             m, secs = train_torch_config(
                                 tree, cfg, weights_root=args.weights_root,

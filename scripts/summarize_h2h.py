@@ -16,6 +16,10 @@ import sys
 import numpy as np
 import pandas as pd
 
+# deltas below this are seed noise, not a mechanics difference: call them a
+# tie in both per-cell verdicts and aggregates rather than crediting a side
+TIE_EPS = 0.05
+
 
 def load(path: str) -> tuple[pd.DataFrame, list[str]]:
     if path.endswith(".csv"):        # accept both the prefix and the file
@@ -58,9 +62,13 @@ def main() -> None:
         if set(cell["framework"]) == {"torch", "fiude"}:
             t = cell[cell.framework == "torch"]["mean_nll"].iloc[0]
             f = cell[cell.framework == "fiude"]["mean_nll"].iloc[0]
-            win = "fiude" if f < t else "torch"
-            print(f"| | | | **-> {win} wins** (ΔNLL {t - f:+.2f}) "
-                  f"| | | | | |")
+            if abs(t - f) < TIE_EPS:
+                print(f"| | | | **-> tie** (ΔNLL {t - f:+.2f}) "
+                      f"| | | | | |")
+            else:
+                win = "fiude" if f < t else "torch"
+                print(f"| | | | **-> {win} wins** (ΔNLL {t - f:+.2f}) "
+                      f"| | | | | |")
 
     if "--agg" in sys.argv:
         # diverged replicates (e.g. the torch US CONN num=2 row with NLL in
@@ -86,7 +94,8 @@ def main() -> None:
                               (f"all {bad} diverged" if bad else "—"))
             t, f = meds["torch"], meds["fiude"]
             verdict = ("—" if np.isnan(t) or np.isnan(f)
-                       else ("fiude" if f < t else "torch"))
+                       else ("tie" if abs(t - f) < TIE_EPS
+                             else ("fiude" if f < t else "torch")))
             print(f"| {region} | {ode} | {vals['torch']} | {vals['fiude']} |"
                   f" {verdict} |")
 

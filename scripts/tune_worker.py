@@ -69,10 +69,23 @@ def main():
     ap.add_argument("worker_id", type=int, nargs="?", default=0)
     ap.add_argument("--csv", default="validation_scores.csv")
     ap.add_argument("--max-rows", type=int, default=256)
+    ap.add_argument("--chip-lock", action="store_true",
+                    help="serialize against other TPU jobs (bench, sweeps) "
+                         "via the advisory chip lock")
     args = ap.parse_args()
 
+    import contextlib
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    stack = contextlib.ExitStack()
+    if args.chip_lock:
+        from fiude_tpu.utils.chiplock import chip_lock
+        stack.enter_context(chip_lock())
+
     from fiude_tpu.train.experiment import run_tuning_worker
-    n = run_tuning_worker(args.csv, evaluate, max_rows=args.max_rows)
+    with stack:
+        n = run_tuning_worker(args.csv, evaluate, max_rows=args.max_rows)
     print(f"worker {args.worker_id}: processed {n} rows")
 
 
