@@ -296,6 +296,7 @@ def odeint_adaptive(
     pid_beta: float = 0.4 / 5.0,
     pid_gamma: float = 0.0,
     dt0: Optional[float] = None,
+    error_norm: str = "global",
 ) -> jnp.ndarray:
     """Adaptive embedded RK (Dormand-Prince 5(4) or Tsit5) on a grid ``t``.
 
@@ -311,42 +312,79 @@ def odeint_adaptive(
     while_loop" required by the north star (capability the reference lacks —
     it only ever uses fixed-step RK4).
 
+    ``error_norm`` controls how the controller reduces the error estimate
+    when ``y0`` carries a leading batch of independent systems (the folded
+    sample×batch ensemble):
+
+    * ``"global"`` (default): one RMS over the whole state — one shared
+      step sequence; the stiffest ensemble member sets everyone's step.
+    * ``"per_system"``: the error estimate is reduced over every axis
+      EXCEPT the leading one, and the whole controller state (current
+      time, trial ``dt``, PID error history, accept/reject) is carried
+      per system inside the ONE ``while_loop`` — each row advances on its
+      own step sequence while the RHS still evaluates the full batch each
+      iteration (finished/rejected rows are masked frozen).  A stiff
+      member no longer shrinks — or exhausts the step budget of — anyone
+      else's steps.  Requires an RHS whose rows are independent along the
+      leading axis and whose time argument broadcasts against a
+      ``(N, 1, …)`` array (true for every model here: the RHS families
+      are autonomous and the per-region MLPs never mix ensemble rows).
+
     Returns ``ys`` of shape ``(T,) + y0.shape``. Aux collection is not
     supported on the adaptive path (step count is data-dependent).
     """
     if method not in _ADAPTIVE_TABLEAUX:
         raise ValueError(f"unknown adaptive method {method!r}; "
                          f"options: {sorted(_ADAPTIVE_TABLEAUX)}")
+    if error_norm not in ("global", "per_system"):
+        raise ValueError(f"error_norm must be 'global' or 'per_system', "
+                         f"got {error_norm!r}")
+    per_system = error_norm == "per_system"
+    if per_system and y0.ndim < 2:
+        raise ValueError(
+            "error_norm='per_system' needs a leading batch-of-systems "
+            f"axis on y0, got shape {y0.shape}")
     tableau = _ADAPTIVE_TABLEAUX[method]
     _f = _wrap_rhs(rhs)
     f = lambda t, y: _f(0, 0, t, y)
     t = jnp.asarray(t)
     dtype = y0.dtype
 
+    # controller-state shape: scalar for the global norm, (N, 1, …) for the
+    # per-system controller (broadcasts against the (N, …) state)
+    ctrl_shape = ((y0.shape[0],) + (1,) * (y0.ndim - 1)) if per_system else ()
+    reduce_axes = tuple(range(1, y0.ndim)) if per_system else None
+
     def err_norm(y_err, y0_, y1_):
         scale = atol + rtol * jnp.maximum(jnp.abs(y0_), jnp.abs(y1_))
-        return jnp.sqrt(jnp.mean(jnp.square(y_err / scale)))
+        sq = jnp.square(y_err / scale)
+        if per_system:
+            return jnp.sqrt(jnp.mean(sq, axis=reduce_axes)).reshape(ctrl_shape)
+        return jnp.sqrt(jnp.mean(sq))
 
     def interval(carry, t_pair):
         y, f_y, dt, err_prev, err_prev2 = carry
         t0, t1 = t_pair
 
         def cond(state):
-            return jnp.logical_and(state[0] < t1 - 1e-12,
+            return jnp.logical_and(jnp.any(state[0] < t1 - 1e-12),
                                    state[6] < max_steps_per_interval)
 
         def body(state):
             t_cur, y_cur, f_cur, dt_cur, ep, ep2, n = state
+            active = t_cur < t1 - 1e-12        # ctrl-shaped (or scalar)
             h = jnp.minimum(dt_cur, (t1 - t_cur).astype(dt_cur.dtype))
             y_new, y_err, f_new = _adaptive_step(tableau, f, t_cur, h,
                                                  y_cur, f_cur)
             err = err_norm(y_err, y_cur, y_new).astype(ep.dtype)
             err = jnp.maximum(err, 1e-10)
-            accept = err <= 1.0
+            accept = (err <= 1.0) & active
             factor = (safety * err ** (-pid_alpha) * ep ** (pid_beta)
                       * ep2 ** (-pid_gamma))
             factor = jnp.clip(factor, 0.2, 5.0)
-            dt_next = jnp.maximum(h * factor, 1e-8).astype(dt_cur.dtype)
+            dt_next = jnp.where(
+                active, jnp.maximum(h * factor, 1e-8), dt_cur
+            ).astype(dt_cur.dtype)
             t_cur = jnp.where(accept, t_cur + h, t_cur).astype(state[0].dtype)
             y_cur = jax.tree.map(lambda a, b: jnp.where(accept, b, a), y_cur, y_new)
             f_cur = jax.tree.map(lambda a, b: jnp.where(accept, b, a), f_cur, f_new)
@@ -354,9 +392,11 @@ def odeint_adaptive(
             ep = jnp.where(accept, err, ep).astype(state[4].dtype)
             return (t_cur, y_cur, f_cur, dt_next, ep, ep2, n + 1)
 
+        t_start = jnp.broadcast_to(t0, ctrl_shape) if per_system else t0
         t_end, y, f_y, dt, err_prev, err_prev2, _ = jax.lax.while_loop(
             cond, body,
-            (t0, y, f_y, dt, err_prev, err_prev2, jnp.asarray(0, jnp.int32))
+            (t_start, y, f_y, dt, err_prev, err_prev2,
+             jnp.asarray(0, jnp.int32))
         )
         return (y, f_y, dt, err_prev, err_prev2), y
 
@@ -365,8 +405,8 @@ def odeint_adaptive(
         dt_init = jnp.asarray((t[-1] - t[0]) / jnp.maximum(t.shape[0] - 1, 1) / 4.0, dtype)
     else:
         dt_init = jnp.asarray(dt0, dtype)
-    carry0 = (y0, f0, dt_init, jnp.asarray(1.0, dtype),
-              jnp.asarray(1.0, dtype))
+    ones_ctrl = jnp.ones(ctrl_shape, dtype)
+    carry0 = (y0, f0, dt_init * ones_ctrl, ones_ctrl, ones_ctrl)
     _, ys = jax.lax.scan(interval, carry0, (t[:-1], t[1:]))
     return jnp.concatenate([y0[None], ys], axis=0)
 

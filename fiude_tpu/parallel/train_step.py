@@ -50,7 +50,14 @@ def make_sharded_train_step(
     sharding tree can be derived.
 
     Returns ``step(state, x, y, t, eps, fa_w, epoch, grad_lim) ->
-    (state, metrics)``.
+    (state, metrics)`` — or, for Bayes models, ``step(state, x, y, t, eps,
+    fa_w, epoch, grad_lim, rng)``: the PRNG key for the variational weight
+    draw rides as a REPLICATED ninth argument, so every shard sees the
+    identical weight sample (the replicated-rng contract; one global weight
+    draw per step exactly like the single-chip scan, reference
+    ``lib/in_development/models_bayes.py:30-48``), and the
+    variational-layer KL (``get_kl``, ``:118-128``) joins the loss with
+    ``ode_kl_w``.
     """
     prior_params = prior_params or {"means": [0.8, 0.55], "stds": [0.2, 0.2]}
     latent_dim = model.latent_dim
@@ -71,7 +78,9 @@ def make_sharded_train_step(
         from fiude_tpu.parallel.tp import tp_shardings
         state_shard = tp_shardings(example_state, mesh)
 
-    def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim):
+    is_bayes = getattr(model, "is_bayes", False)
+
+    def _step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim, rng):
         if loss_cfg.anneal:
             tr_step = state.tr_step + 1
             kl_w = kl_annealing(tr_step, anneal)
@@ -80,11 +89,17 @@ def make_sharded_train_step(
             kl_w = jnp.asarray(1.0, jnp.float32)
 
         def loss_fn(params):
-            y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w)
+            y_pred, extras = model.apply(params, x, t, eps, fa_w=fa_w,
+                                         rng=rng)
+            ode_kl = None
+            if is_bayes:
+                from fiude_tpu.models.bayes import variational_kl
+                ode_kl = variational_kl(
+                    params.ode, getattr(model.ode, "prior_std", 0.1))
             loss, metrics = compute_loss(
                 loss_cfg, y_pred, y, extras, kl_w=kl_w,
                 latent_dim=latent_dim, len_tr=len_tr,
-                prior_params=prior_params)
+                prior_params=prior_params, ode_kl=ode_kl)
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(
@@ -100,6 +115,19 @@ def make_sharded_train_step(
         metrics = dict(metrics)
         metrics["grad_norm"] = grad_norm
         return TrainState(params, opt_state, tr_step, skip_count), metrics
+
+    if is_bayes:
+        # the key is replicated: one weight draw, broadcast to every shard
+        return jax.jit(
+            _step,
+            in_shardings=(state_shard, x_shard, x_shard, repl, eps_shard,
+                          repl, repl, repl, repl),
+            out_shardings=(state_shard, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    def step(state, x, y, t, eps, fa_w, epoch, grad_lim):
+        return _step(state, x, y, t, eps, fa_w, epoch, grad_lim, None)
 
     return jax.jit(
         step,
@@ -141,17 +169,20 @@ def make_fused_sharded_train_step(
     must divide by the axis size.  Reference hot loop this scales:
     ``lib/VAE.py:137,200-223``.
 
-    Bayes families are NOT supported here: ``model.apply`` is called without
-    an rng (a Bayes apply draws its weight-noise seed from one), and naively
-    threading per-shard rngs would give each device a DIFFERENT weight draw,
-    silently breaking the replicated-weights contract above.  Use the
-    single-chip fused path or the XLA-scan sharded step for Bayes.
+    Bayes families ride a REPLICATED-rng contract: the PRNG key enters the
+    shard_map with spec ``P()`` (identical on every device), the scalar
+    kernel seed derived from it (``jax.random.randint`` in
+    ``UDEForecaster.apply``) is therefore identical on every device, and the
+    fused variational kernel's on-core PRNG (``pltpu.prng_seed`` +
+    Box-Muller, :mod:`fiude_tpu.ops.pallas_bayes_train`) is a deterministic
+    function of that seed — so all shards integrate with the SAME weight
+    draw per RHS evaluation, matching single-chip semantics exactly
+    (reference ``lib/in_development/models_bayes.py:30-48``).  Per-shard
+    rngs would silently desynchronize the weight draw; never split the key
+    over the mesh.  The variational-layer KL (params-only, replicated) is
+    added via :func:`compute_loss_sharded`'s ``ode_kl`` term.  The returned
+    step takes a ninth ``rng`` argument for Bayes models.
     """
-    if getattr(model, "is_bayes", False):
-        raise ValueError(
-            "make_fused_sharded_train_step does not support Bayes models: "
-            "per-shard rng threading would desynchronize the variational "
-            "weight draw across devices (see docstring)")
     try:
         from jax import shard_map
     except ImportError:  # pre-0.8 jax
@@ -161,17 +192,24 @@ def make_fused_sharded_train_step(
 
     prior_params = prior_params or {"means": [0.8, 0.55], "stds": [0.2, 0.2]}
     latent_dim = model.latent_dim
+    is_bayes = getattr(model, "is_bayes", False)
 
-    def grads_shard(params, kl_w, x, y, t, eps_l, fa_w):
+    def grads_shard(params, kl_w, x, y, t, eps_l, fa_w, rng):
         """One device: fused fwd+bwd on the local eps shard -> psum'd
-        grads + full-ensemble metrics (replicated)."""
+        grads + full-ensemble metrics (replicated).  ``rng`` is replicated
+        (spec P()): one variational weight draw shared by every shard."""
 
         def loss_fn(p):
-            y_pred, extras = model.apply(p, x, t, eps_l, fa_w=fa_w)
+            y_pred, extras = model.apply(p, x, t, eps_l, fa_w=fa_w, rng=rng)
+            ode_kl = None
+            if is_bayes:
+                from fiude_tpu.models.bayes import variational_kl
+                ode_kl = variational_kl(
+                    p.ode, getattr(model.ode, "prior_std", 0.1))
             return compute_loss_sharded(
                 loss_cfg, y_pred, y, extras, axis=sample_axis, kl_w=kl_w,
                 latent_dim=latent_dim, len_tr=len_tr,
-                prior_params=prior_params)
+                prior_params=prior_params, ode_kl=ode_kl)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -179,11 +217,11 @@ def make_fused_sharded_train_step(
 
     sharded_grads = shard_map(
         grads_shard, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(sample_axis), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(sample_axis), P(), P()),
         out_specs=(P(), P()),
         check_vma=False)
 
-    def step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim):
+    def _step(state: TrainState, x, y, t, eps, fa_w, epoch, grad_lim, rng):
         if loss_cfg.anneal:
             tr_step = state.tr_step + 1
             kl_w = kl_annealing(tr_step, anneal)
@@ -193,7 +231,7 @@ def make_fused_sharded_train_step(
 
         grads, metrics = sharded_grads(
             state.params, kl_w, x, y, t, eps,
-            jnp.asarray(fa_w, jnp.float32))
+            jnp.asarray(fa_w, jnp.float32), rng)
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = opt.update(grads, state.opt_state,
                                             state.params)
@@ -210,6 +248,21 @@ def make_fused_sharded_train_step(
 
     repl = NamedSharding(mesh, P())
     eps_shard = NamedSharding(mesh, P(sample_axis))
+    if is_bayes:
+        return jax.jit(
+            _step,
+            in_shardings=(repl, repl, repl, repl, eps_shard, repl, repl,
+                          repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    def step(state, x, y, t, eps, fa_w, epoch, grad_lim):
+        # dummy key: apply ignores rng for non-Bayes RHS, but shard_map
+        # needs a concrete replicated leaf in the rng slot
+        return _step(state, x, y, t, eps, fa_w, epoch, grad_lim,
+                     jax.random.PRNGKey(0))
+
     return jax.jit(
         step,
         in_shardings=(repl, repl, repl, repl, eps_shard, repl, repl, repl),

@@ -221,10 +221,17 @@ def compute_loss_sharded(
     prior_params: Optional[Dict[str, Any]] = None,
     time_mask=None,
     eval_mask=None,
+    ode_kl=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """:func:`compute_loss` with the MC-sample axis sharded over mesh axis
     ``axis`` (for use inside ``shard_map``; the training analogue of
     :mod:`fiude_tpu.parallel.serving`).
+
+    ``ode_kl`` (Bayes variational-layer KL, reference
+    ``lib/in_development/models_bayes.py:118-128``) is a replicated,
+    params-only term: like ``kl_z`` it is added once to the full-ensemble
+    loss and rides the same divide-by-``n_shards`` / psum-the-grads
+    contract.
 
     ``y_pred`` carries only this device's sample shard (B, S_local, T, R);
     ``extras.latent``/``extras.aux`` carry the matching folded-row shard;
@@ -397,6 +404,10 @@ def compute_loss_sharded(
         reg = 0.1 * stats["reg"]
         loss = loss + reg
         metrics["reg_loss"] = reg
+    if ode_kl is not None:
+        okl = loss_cfg.ode_kl_w * ode_kl
+        loss = loss + okl
+        metrics["ode_kl"] = okl
 
     metrics["loss"] = loss
     metrics["kl_w"] = jnp.asarray(kl_w, y_pred.dtype)

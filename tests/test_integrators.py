@@ -194,6 +194,74 @@ class TestDispatcher:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestPerSystemErrorNorm:
+    """odeint_adaptive(error_norm='per_system'): every leading-axis system
+    runs its own error estimate and PID step sequence, so one stiff ensemble
+    member cannot set (or exhaust) everyone's step budget
+    (ops/integrate.py:326-328 global-norm caveat, VERDICT r4 item 7)."""
+
+    def test_matches_global_on_homogeneous_batch(self):
+        from fiude_tpu.ops.integrate import odeint_adaptive
+        t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float64)
+        y0 = jnp.ones((4, 1), dtype=jnp.float64)  # identical systems
+        ys_g = odeint_adaptive(exp_rhs, y0, t, rtol=1e-8, atol=1e-10)
+        ys_p = odeint_adaptive(exp_rhs, y0, t, rtol=1e-8, atol=1e-10,
+                               error_norm="per_system")
+        np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_g),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_stiff_member_does_not_starve_easy_member(self):
+        """Heterogeneous batch (decay rates 0.5 and 400) under a tight
+        per-interval step budget: the global norm lets the stiff member
+        force tiny steps for the whole batch, exhausting the budget before
+        the interval ends — the EASY member comes back wrong too.  Per-system
+        control keeps the easy member exact."""
+        from fiude_tpu.ops.integrate import odeint_adaptive
+
+        rates = jnp.array([[0.5], [400.0]], dtype=jnp.float64)
+
+        def rhs(t, y):
+            return -rates * y
+
+        t = jnp.linspace(0.0, 1.0, 2, dtype=jnp.float64)
+        y0 = jnp.ones((2, 1), dtype=jnp.float64)
+        # 30 steps: plenty for the easy member alone at this tolerance,
+        # nowhere near enough when the stiff member drags dt down for both
+        kw = dict(rtol=1e-10, atol=1e-12, max_steps_per_interval=30)
+        ys_g = odeint_adaptive(rhs, y0, t, **kw)
+        ys_p = odeint_adaptive(rhs, y0, t, error_norm="per_system", **kw)
+
+        exact_easy = float(jnp.exp(-0.5))
+        err_g = abs(float(ys_g[-1, 0, 0]) - exact_easy)
+        err_p = abs(float(ys_p[-1, 0, 0]) - exact_easy)
+        assert err_p < 1e-8, f"per-system easy member inaccurate: {err_p}"
+        assert err_g > 100 * err_p, (
+            f"global norm should have starved the easy member under the "
+            f"step cap (err_g={err_g}, err_p={err_p})")
+
+    def test_per_system_jit_and_grad(self):
+        from fiude_tpu.ops.integrate import odeint_adaptive
+
+        @jax.jit
+        def loss(a):
+            def rhs(t, y):
+                return -a * y
+            t = jnp.linspace(0.0, 1.0, 3, dtype=jnp.float64)
+            ys = odeint_adaptive(rhs, jnp.ones((3, 1), jnp.float64), t,
+                                 error_norm="per_system")
+            return ys[-1].sum()
+
+        v = loss(jnp.asarray(1.0, jnp.float64))
+        np.testing.assert_allclose(float(v), 3 * np.exp(-1.0), rtol=1e-5)
+
+    def test_requires_batch_axis(self):
+        from fiude_tpu.ops.integrate import odeint_adaptive
+        with pytest.raises(ValueError, match="per_system"):
+            odeint_adaptive(exp_rhs, jnp.ones((3,), jnp.float64),
+                            jnp.linspace(0.0, 1.0, 3, dtype=jnp.float64),
+                            error_norm="per_system")
+
+
 class TestAdaptiveInForecaster:
     def test_dopri5_forward_in_model(self):
         """UDEForecaster(method='dopri5'): adaptive path with grid-point aux."""
@@ -219,6 +287,36 @@ class TestAdaptiveInForecaster:
         y_rk, _ = model_rk.apply(params, x, t, eps)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_rk),
                                    rtol=1e-3, atol=1e-4)
+
+    def test_dopri5_aux_is_rhs_at_output_grid_points(self):
+        """Pin the adaptive path's aux SEMANTICS (models/vae.py:285-291):
+        because the accepted step count is data-dependent, the fixed path's
+        stage-ordered statistics cannot be collected; instead the aux is the
+        RHS auxiliary evaluated at (t[k], latent[t_k]) for k = 1..T-1 —
+        exactly one evaluation per accepted output grid point, in grid
+        order.  (The reference never runs adaptive, so there is no torch
+        oracle; this test pins what the semantics ARE.)"""
+        import dataclasses as dc
+
+        from fiude_tpu.models import UDEForecaster
+        model = UDEForecaster.build(
+            n_regions=1, latent_dim=6, n_qs=3, ode_name="Fp",
+            enc_params={"q_sizes": (8,), "ff_sizes": (8,)},
+            ode_params={"net_sizes": (8, 8)})
+        model = dc.replace(model, method="dopri5")
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 10, 4)).astype(np.float32))
+        eps = jnp.asarray(rng.standard_normal((3, 2, 1, 5)).astype(np.float32))
+        t = jnp.arange(4, dtype=jnp.float32)
+        _, extras = model.apply(params, x, t, eps)
+
+        rhs = model.rhs_fn(params.ode, 1.0)
+        expected = jax.vmap(lambda ti, yi: rhs(ti, yi)[1])(
+            t[1:], extras.latent[1:])
+        np.testing.assert_allclose(np.asarray(extras.aux["rates"]),
+                                   np.asarray(expected["rates"]),
+                                   rtol=1e-6, atol=1e-7)
 
 
 class TestTsit5:
