@@ -94,7 +94,7 @@ def run_benchmarks():
     # persistent compilation cache: a bench run (or any chip job) warms the
     # cache the next cold process hits, cutting remote Mosaic compiles from
     # minutes to seconds (cache survives across processes, not reboots)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from fiude_tpu.models import UDEForecaster
     from fiude_tpu.models.vae import reparam

@@ -170,7 +170,7 @@ def main():
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     import contextlib
 

@@ -252,7 +252,7 @@ def main():
         # env vars alone don't override this machine's sitecustomize pin;
         # the config knob must be set before backend init (see CLAUDE.md)
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     tree = ensure_tree(os.path.abspath(args.tree))
     out = os.path.abspath(args.out)

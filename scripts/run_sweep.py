@@ -71,7 +71,7 @@ def main():
     # persistent compilation cache: repeated shapes (and crash-resumed
     # sweeps) skip the multi-minute remote Mosaic compiles entirely
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     configs = grid(region=args.regions, epochs=args.epochs,
                    window_size=args.windows, gamma=args.gammas,

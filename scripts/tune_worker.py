@@ -77,7 +77,7 @@ def main():
     import contextlib
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     stack = contextlib.ExitStack()
     if args.chip_lock:
         from fiude_tpu.utils.chiplock import chip_lock
