@@ -31,12 +31,20 @@ class ArrayLoader:
             n += 1
         return n
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def epoch_indices(self) -> np.ndarray:
+        """One epoch's window order, consuming the shuffle RNG exactly as
+        ``__iter__`` would — the Trainer's whole-epoch scan path uses this
+        to keep batch order identical to the per-batch loop."""
         idx = np.arange(len(self.x))
         if self.shuffle:
             self._rng.shuffle(idx)
-        end = len(idx) - (len(idx) % self.batch_size if self.drop_last else 0)
-        for start in range(0, end, self.batch_size):
+        if self.drop_last:
+            idx = idx[: len(idx) - len(idx) % self.batch_size]
+        return idx
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = self.epoch_indices()
+        for start in range(0, len(idx), self.batch_size):
             sel = idx[start:start + self.batch_size]
             yield self.x[sel], self.y[sel]
 

@@ -114,6 +114,10 @@ class Trainer:
         self._step_fn = None
         self._pre_step_fn = None
         self._forward_fn = None
+        self._epoch_fn = None
+        self._epoch_metric_names: Optional[list] = None
+        self._best_params = None
+        self._ckpt_dirty = False
 
     # -- rng ---------------------------------------------------------------
 
@@ -127,6 +131,88 @@ class Trainer:
         Chain-identical to ``n`` :meth:`next_key` calls."""
         self._key, subs = _chain_split(self._key, n)
         return np.asarray(subs)
+
+    # -- whole-epoch compiled step (tunnel-friendly fast path) ----------------
+    #
+    # The per-batch python loop costs, through the axon tunnel, ONE
+    # host->device batch upload (~0.5 MB), ONE dispatch and ~8 scalar
+    # fetches per train step (~13 s/epoch measured on the h2h US cells vs
+    # ~0.2 s/epoch of actual compute).  The epoch fast path stages the whole
+    # train split on device ONCE per train() call and runs each epoch as a
+    # single lax.scan over shuffled batch-index rows, returning one packed
+    # (n_batches, n_metrics) array — 2 round trips per epoch total.
+    # Semantics are identical to the loop (same batch order, same PRNG
+    # chain, same skip-counter carry; pinned by test_epoch_scan.py).
+
+    def _build_epoch_fn(self):
+        step = self._step_fn
+        is_bayes = self.model.is_bayes
+        names_box: Dict[str, list] = {}
+
+        @functools.partial(jax.jit, static_argnames=("n_samples",))
+        def epoch_fn(state, x_full, y_full, t, idx_rows, key_rows, fa_w,
+                     epoch, grad_lim, time_mask=None, eval_mask=None,
+                     n_samples=None):
+            def body(state, per):
+                ib, krow = per
+                state, metrics = step(
+                    state, x_full[ib], y_full[ib], t, None, fa_w, epoch,
+                    grad_lim, rng=krow[0] if is_bayes else None,
+                    time_mask=time_mask, eval_mask=eval_mask,
+                    eps_key=krow[-1], n_samples=n_samples)
+                names = sorted(metrics)
+                names_box["names"] = names
+                return state, jnp.stack([metrics[k] for k in names])
+
+            state, packed = jax.lax.scan(body, state, (idx_rows, key_rows))
+            return state, packed
+
+        def run(state, x_full, y_full, t, idx_rows, key_rows, fa_w, epoch,
+                grad_lim, time_mask=None, eval_mask=None, n_samples=None):
+            state, packed = epoch_fn(state, x_full, y_full, t, idx_rows,
+                                     key_rows, fa_w, epoch, grad_lim,
+                                     time_mask=time_mask, eval_mask=eval_mask,
+                                     n_samples=n_samples)
+            self._epoch_metric_names = names_box["names"]
+            return state, packed
+
+        return run
+
+    def _run_epoch(self, x_dev, y_dev, t_eval, idx, keys, per_batch, *,
+                   fa_arr, epoch_arr, lim_arr, time_mask=None, eval_mask=None,
+                   n_samples):
+        """One epoch: scan over the full batches + an eager tail step.
+
+        ``idx``: this epoch's shuffled window order (host int array);
+        ``keys``: host (per_batch * n_batches, 2) PRNG rows in loop order.
+        Returns the list of per-batch metric dicts (values fetched in one
+        round trip for the scanned part)."""
+        bs = self._scan_batch_size
+        n_full = len(idx) // bs
+        pending: list = []
+        if n_full:
+            idx_rows = jnp.asarray(
+                np.asarray(idx[: n_full * bs], np.int32).reshape(n_full, bs))
+            key_rows = jnp.asarray(
+                keys[: per_batch * n_full].reshape(n_full, per_batch, 2))
+            self.state, packed = self._epoch_fn(
+                self.state, x_dev, y_dev, t_eval, idx_rows, key_rows, fa_arr,
+                epoch_arr, lim_arr, time_mask=time_mask, eval_mask=eval_mask,
+                n_samples=n_samples)
+            vals = np.asarray(packed)  # ONE fetch for the whole epoch
+            names = self._epoch_metric_names
+            pending = [dict(zip(names, vals[b])) for b in range(n_full)]
+        if len(idx) % bs:  # partial tail batch (torch DataLoader default)
+            sel = np.asarray(idx[n_full * bs:])
+            krow = keys[per_batch * n_full:]
+            is_bayes = self.model.is_bayes
+            self.state, metrics = self._step_fn(
+                self.state, x_dev[sel], y_dev[sel], t_eval, None, fa_arr,
+                epoch_arr, lim_arr, rng=krow[0] if is_bayes else None,
+                time_mask=time_mask, eval_mask=eval_mask, eps_key=krow[-1],
+                n_samples=n_samples)
+            pending.append(metrics)
+        return pending
 
     # -- setup ---------------------------------------------------------------
 
@@ -151,6 +237,7 @@ class Trainer:
             skip_count=jnp.asarray(0, jnp.int32),
         )
         self._step_fn = self._build_step()
+        self._epoch_fn = self._build_epoch_fn()
         self._forward_fn = jax.jit(self.model.apply, static_argnames=())
 
     def set_lr(self, lr: float):
@@ -179,6 +266,7 @@ class Trainer:
                                                 prior_std=new_std))
         if self.opt is not None:
             self._step_fn = self._build_step()
+            self._epoch_fn = self._build_epoch_fn()
 
     # -- jitted train step ---------------------------------------------------
 
@@ -324,6 +412,15 @@ class Trainer:
         lim_arr = jnp.asarray(grad_lim, jnp.float32)
         is_bayes = self.model.is_bayes
         per_batch = 2 if is_bayes else 1
+        # whole-epoch scan fast path: needs device-resident arrays and no
+        # mid-epoch host decisions (nan_guard) or injected eps streams
+        use_scan = (eps_source is None and not nan_guard
+                    and hasattr(loader, "x") and hasattr(loader, "batch_size"))
+        if use_scan:
+            x_dev = jnp.asarray(loader.x)
+            y_dev = jnp.asarray(loader.y)[:, eval_pts, :]
+            t_eval_dev = t[eval_pts]
+            self._scan_batch_size = loader.batch_size
 
         for e in range(epochs):
             epoch = e + start_epoch
@@ -336,26 +433,32 @@ class Trainer:
             need_keys = eps_source is None or is_bayes
             keys = (self.next_keys(per_batch * len(loader))
                     if need_keys else None)
-            pending = []
-            for bi, (x_b, y_b) in enumerate(loader):
-                x_b = jnp.asarray(x_b)
-                y_b = jnp.asarray(y_b)[:, eval_pts, :]
-                t_eval = t[eval_pts]
-                eps_b = (jnp.asarray(next(eps_source))
-                         if eps_source is not None else None)
-                self.state, metrics = self._step_fn(
-                    self.state, x_b, y_b, t_eval, eps_b, fa_arr, epoch_arr,
-                    lim_arr,
-                    rng=keys[per_batch * bi] if is_bayes else None,
-                    eps_key=(None if eps_b is not None
-                             else keys[per_batch * bi + per_batch - 1]),
-                    n_samples=n_samples)
-                # defer host fetches to epoch end so the device pipeline
-                # stays full (each float() here is a serializing round trip)
-                pending.append(metrics)
-                if nan_guard and not np.isfinite(float(metrics["loss"])):
-                    # crash containment (reference tune_encoders.py:199-200)
-                    break
+            if use_scan:
+                pending = self._run_epoch(
+                    x_dev, y_dev, t_eval_dev, loader.epoch_indices(), keys,
+                    per_batch, fa_arr=fa_arr, epoch_arr=epoch_arr,
+                    lim_arr=lim_arr, n_samples=n_samples)
+            else:
+                pending = []
+                for bi, (x_b, y_b) in enumerate(loader):
+                    x_b = jnp.asarray(x_b)
+                    y_b = jnp.asarray(y_b)[:, eval_pts, :]
+                    t_eval = t[eval_pts]
+                    eps_b = (jnp.asarray(next(eps_source))
+                             if eps_source is not None else None)
+                    self.state, metrics = self._step_fn(
+                        self.state, x_b, y_b, t_eval, eps_b, fa_arr, epoch_arr,
+                        lim_arr,
+                        rng=keys[per_batch * bi] if is_bayes else None,
+                        eps_key=(None if eps_b is not None
+                                 else keys[per_batch * bi + per_batch - 1]),
+                        n_samples=n_samples)
+                    # defer host fetches to epoch end so the device pipeline
+                    # stays full (each float() is a serializing round trip)
+                    pending.append(metrics)
+                    if nan_guard and not np.isfinite(float(metrics["loss"])):
+                        # crash containment (tune_encoders.py:199-200)
+                        break
 
             epoch_norms = []
             for metrics in pending:
@@ -385,6 +488,8 @@ class Trainer:
             if checkpoint:
                 self.checkpoint()
 
+        if checkpoint:
+            self.flush_checkpoint()
         self.params = self.state.params
         return norms_this_train
 
@@ -413,6 +518,11 @@ class Trainer:
         lim_arr = jnp.asarray(grad_lim, jnp.float32)
         is_bayes = self.model.is_bayes
         per_batch = 2 if is_bayes else 1
+        use_scan = hasattr(loader, "x") and hasattr(loader, "batch_size")
+        if use_scan:
+            x_dev = jnp.asarray(loader.x)
+            y_dev = jnp.asarray(loader.y)[:, eval_all, :]
+            self._scan_batch_size = loader.batch_size
 
         for stage in range(2, K + 1):
             # each stage corresponds to one reference train() call, which
@@ -429,18 +539,25 @@ class Trainer:
                 epoch = len(self.history.epoch_history)
                 epoch_arr = jnp.asarray(epoch, jnp.int32)
                 keys = self.next_keys(per_batch * len(loader))
-                pending = []
-                for bi, (x_b, y_b) in enumerate(loader):
-                    x_b = jnp.asarray(x_b)
-                    y_b = jnp.asarray(y_b)[:, eval_all, :]
-                    self.state, metrics = self._step_fn(
-                        self.state, x_b, y_b, t_eval, None, fa_arr,
-                        epoch_arr, lim_arr,
-                        rng=keys[per_batch * bi] if is_bayes else None,
-                        time_mask=time_mask, eval_mask=eval_mask,
-                        eps_key=keys[per_batch * bi + per_batch - 1],
-                        n_samples=n_samples)
-                    pending.append(metrics)
+                if use_scan:
+                    pending = self._run_epoch(
+                        x_dev, y_dev, t_eval, loader.epoch_indices(), keys,
+                        per_batch, fa_arr=fa_arr, epoch_arr=epoch_arr,
+                        lim_arr=lim_arr, time_mask=time_mask,
+                        eval_mask=eval_mask, n_samples=n_samples)
+                else:
+                    pending = []
+                    for bi, (x_b, y_b) in enumerate(loader):
+                        x_b = jnp.asarray(x_b)
+                        y_b = jnp.asarray(y_b)[:, eval_all, :]
+                        self.state, metrics = self._step_fn(
+                            self.state, x_b, y_b, t_eval, None, fa_arr,
+                            epoch_arr, lim_arr,
+                            rng=keys[per_batch * bi] if is_bayes else None,
+                            time_mask=time_mask, eval_mask=eval_mask,
+                            eps_key=keys[per_batch * bi + per_batch - 1],
+                            n_samples=n_samples)
+                        pending.append(metrics)
                 epoch_norms = []
                 for metrics in pending:
                     gn = float(metrics["grad_norm"])
@@ -464,6 +581,10 @@ class Trainer:
                         fh.write(",".join(map(str, epoch_norms)) + "\n")
                 if checkpoint:
                     self.checkpoint()
+            if checkpoint:
+                # one npz write per stage: same end-of-stage file contents
+                # as the eager per-epoch writes (each stage resets best_loss)
+                self.flush_checkpoint()
         self.params = self.state.params
 
     # -- validation / inference ------------------------------------------------
@@ -515,13 +636,25 @@ class Trainer:
     # -- checkpointing (reference lib/VAE.py:293-334) ---------------------------
 
     def checkpoint(self):
+        """Best-epoch-loss checkpoint (reference lib/VAE.py:293-306), with
+        the device->host fetch deferred: improving epochs only retain a
+        reference to the (immutable) device param tree; the npz is written
+        once per train() call by :meth:`flush_checkpoint`.  Through the axon
+        tunnel an eager per-epoch save is ~40 serializing leaf fetches."""
         prefix = self.chkpt_prefix or self.file_prefix
         if prefix is None:
             return
         last = self.history.epoch_history[-1]["loss"]
         if last < self.best_loss:
             self.best_loss = last
-            ckpt.save_params(f"{prefix}chkpt_", self.state.params)
+            self._best_params = self.state.params
+            self._ckpt_dirty = True
+
+    def flush_checkpoint(self):
+        prefix = self.chkpt_prefix or self.file_prefix
+        if self._ckpt_dirty and prefix is not None:
+            ckpt.save_params(f"{prefix}chkpt_", self._best_params)
+            self._ckpt_dirty = False
 
     def save(self, file_prefix: Optional[str] = None):
         prefix = file_prefix or self.file_prefix
