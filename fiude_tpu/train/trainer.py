@@ -64,6 +64,14 @@ def _tree_select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def _env_no_scan() -> bool:
+    """Opt-out for the whole-epoch scan fast path (FIUDE_NO_EPOCH_SCAN=1):
+    falls back to the per-batch loop, which is semantically identical
+    (test_epoch_scan.py) but ~10x slower through the axon tunnel."""
+    import os
+    return bool(os.environ.get("FIUDE_NO_EPOCH_SCAN"))
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _chain_split(key, n):
     """Advance a PRNG chain ``n`` successive splits in ONE compiled call.
@@ -367,9 +375,12 @@ class Trainer:
             for x_b, _ in loader:
                 enc_params, opt_state, kl = pre_step(
                     enc_params, opt_state, jnp.asarray(x_b))
-                kls.append(float(kl))
+                # keep device scalars; each eager float() is a serializing
+                # tunnel round trip
+                kls.append(kl)
             if verbose:
-                print(f"pre_train epoch {epoch}: KL_z {np.mean(kls):.3f}")
+                print(f"pre_train epoch {epoch}: "
+                      f"KL_z {np.mean([float(k) for k in kls]):.3f}")
 
         self.params = self.params._replace(enc=enc_params)
         if self.state is not None:
@@ -415,7 +426,8 @@ class Trainer:
         # whole-epoch scan fast path: needs device-resident arrays and no
         # mid-epoch host decisions (nan_guard) or injected eps streams
         use_scan = (eps_source is None and not nan_guard
-                    and hasattr(loader, "x") and hasattr(loader, "batch_size"))
+                    and hasattr(loader, "x") and hasattr(loader, "batch_size")
+                    and not _env_no_scan())
         if use_scan:
             x_dev = jnp.asarray(loader.x)
             y_dev = jnp.asarray(loader.y)[:, eval_pts, :]
@@ -518,7 +530,8 @@ class Trainer:
         lim_arr = jnp.asarray(grad_lim, jnp.float32)
         is_bayes = self.model.is_bayes
         per_batch = 2 if is_bayes else 1
-        use_scan = hasattr(loader, "x") and hasattr(loader, "batch_size")
+        use_scan = (hasattr(loader, "x") and hasattr(loader, "batch_size")
+                    and not _env_no_scan())
         if use_scan:
             x_dev = jnp.asarray(loader.x)
             y_dev = jnp.asarray(loader.y)[:, eval_all, :]
