@@ -99,6 +99,25 @@ def main() -> None:
             print(f"| {region} | {ode} | {vals['torch']} | {vals['fiude']} |"
                   f" {verdict} |")
 
+        # the filtered median can be asymmetric (a diverged torch seed is
+        # dropped while a bad-but-convergent fiude seed still counts), so
+        # also report the paired per-seed record: for every seed both stacks
+        # ran, which side's mean NLL was lower (ties below TIE_EPS)
+        print("\n### Paired per-seed record (same seed, both stacks; "
+              f"tie when |Δ| < {TIE_EPS})\n")
+        print("| region | model | fiude wins | ties | torch wins |")
+        print("|---|---|---|---|---|")
+        for (region, ode), cell in df.groupby(["region", "ode_name"]):
+            w = {"fiude": 0, "tie": 0, "torch": 0}
+            for _, seed_cell in cell.groupby("num"):
+                sides = seed_cell.set_index("framework")["mean_nll"]
+                if {"torch", "fiude"} <= set(sides.index):
+                    d = sides["torch"] - sides["fiude"]
+                    w["tie" if abs(d) < TIE_EPS
+                      else ("fiude" if d > 0 else "torch")] += 1
+            print(f"| {region} | {ode} | {w['fiude']} | {w['tie']} "
+                  f"| {w['torch']} |")
+
 
 if __name__ == "__main__":
     main()
