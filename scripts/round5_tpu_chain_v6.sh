@@ -33,6 +33,16 @@ unit() {  # unit <cap-s> <label> <cmd...>
 }
 
 while [ "$(remaining)" -gt 240 ]; do
+  # loser-family recipe ablation first (transient TPU error killed the v5
+  # attempt; cells are ~2 min each on the epoch-scan path and --resume
+  # skips everything already landed)
+  unit 900 ablation python scripts/ablate_h2h.py \
+      --tree /tmp/h2h --out docs/h2h_ablation --resume \
+      --weights-root /tmp/h2h_ablation_runs --platform ambient \
+      --families US:SONN --nums 1 2 \
+      --variants base lr5e-4 warmup gradlim1500 anneal25 pre3 \
+      --deadline $(( DEADLINE - 120 ))
+
   # finish the window-7 block (hhs Bayes + state 2016 remainders), then
   # spread to window 22; the work-dir ledgers dedup everything already done
   unit 900 stageB-w7 python scripts/run_sweep.py \
