@@ -22,6 +22,37 @@ from fiude_tpu.utils.config import grid
 from fiude_tpu.utils.ledger import Ledger
 
 
+def filter_done(configs, csv_path):
+    """Drop configs whose (row, season) NLL cell is already filled.
+
+    A config's row identity is the ``variables`` dict used by
+    ``run_experiment`` (epochs/gamma/ode_name/region/latent_dim/window_size/
+    num); its season lands in column ``"{test_season} {window_size+6}"``
+    (``fiude_tpu/utils/results.py:38-44``, mirroring reference
+    ``lib/utils.py:52-54``).
+    """
+    if not os.path.exists(csv_path):
+        return list(configs)
+    import pandas as pd
+    df = pd.read_csv(csv_path, index_col=0)
+    keep = []
+    for cfg in configs:
+        col = f"{cfg.test_season} {cfg.window_size + 6}"
+        done = False
+        if col in df.columns:
+            m = pd.Series(True, index=df.index)
+            for key in ("epochs", "gamma", "ode_name", "region",
+                        "latent_dim", "window_size", "num"):
+                if key not in df.columns:
+                    m &= False
+                    break
+                m &= df[key] == getattr(cfg, key)
+            done = bool(df.loc[m, col].notna().any()) if m.any() else False
+        if not done:
+            keep.append(cfg)
+    return keep
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default=None)
@@ -59,6 +90,11 @@ def main():
                     help="serialize against other TPU jobs (bench, "
                          "head-to-head) via the advisory chip lock; use "
                          "whenever the sweep runs on the shared axon chip")
+    ap.add_argument("--skip-done", action="store_true",
+                    help="drop configs whose (config, season) cell already "
+                         "has a non-NaN NLL in the output CSV — makes the "
+                         "sweep resumable from the results table itself "
+                         "when the work-dir ledger is gone (e.g. /tmp wipe)")
     args = ap.parse_args()
 
     if args.chip_lock:
@@ -77,6 +113,12 @@ def main():
                    window_size=args.windows, gamma=args.gammas,
                    latent_dim=[8], num=args.nums, test_season=args.seasons,
                    ode_name=args.models)
+    if args.skip_done:
+        n0 = len(configs)
+        configs = filter_done(configs,
+                              os.path.join(args.work_dir, args.out) + ".csv")
+        print(f"--skip-done: {n0 - len(configs)}/{n0} cells already in the "
+              "results table; {0} to run".format(len(configs)), flush=True)
     ledger = Ledger(os.path.join(args.work_dir, args.ledger))
 
     if args.population:
