@@ -269,10 +269,15 @@ def rerun_best(scores_csv: str,
 def run_tuning_worker(csv_path: str,
                       evaluate: Callable[[Dict[str, Any]], float],
                       max_rows: int = 256,
-                      fail_score: float = 10.0) -> int:
+                      fail_score: float = 10.0,
+                      extra_cols: Optional[Dict[str, Any]] = None) -> int:
     """CSV work-queue worker (reference tune_node.py:234-266): repeatedly
     claim the first ``started == 0`` row under a file lock, run
-    ``evaluate(params_dict)``, write ``score`` back.  Returns rows processed."""
+    ``evaluate(params_dict)``, write ``score`` back.  Returns rows processed.
+
+    ``extra_cols`` (e.g. ``{"platform": "cpu"}``) are stamped on the row at
+    score-write time — provenance for mixed on-chip/off-chip worker pools.
+    """
     import pandas as pd
     from filelock import FileLock
 
@@ -297,6 +302,8 @@ def run_tuning_worker(csv_path: str,
         with lock:
             df = pd.read_csv(csv_path, index_col=0)
             df.loc[row, "score"] = score
+            for k, v in (extra_cols or {}).items():
+                df.loc[row, k] = v
             df.to_csv(csv_path)
         processed += 1
     return processed

@@ -72,11 +72,22 @@ def main():
     ap.add_argument("--chip-lock", action="store_true",
                     help="serialize against other TPU jobs (bench, sweeps) "
                          "via the advisory chip lock")
+    ap.add_argument("--platform", choices=["ambient", "cpu"],
+                    default="ambient",
+                    help="'cpu' pins jax to the host CPU before backend "
+                         "init — off-chip workers run in parallel with "
+                         "on-chip sweeps (reference protocol is CPU "
+                         "workers too, tuning/run_tuning.sh). Rows are "
+                         "stamped with a 'platform' provenance column.")
     args = ap.parse_args()
 
     import contextlib
 
     import jax
+    if args.platform == "cpu":
+        # sitecustomize pins JAX_PLATFORMS=axon; only a pre-init config
+        # update can steer the backend (see CLAUDE.md / verify skill)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     stack = contextlib.ExitStack()
     if args.chip_lock:
@@ -84,8 +95,10 @@ def main():
         stack.enter_context(chip_lock())
 
     from fiude_tpu.train.experiment import run_tuning_worker
+    platform = jax.devices()[0].platform
     with stack:
-        n = run_tuning_worker(args.csv, evaluate, max_rows=args.max_rows)
+        n = run_tuning_worker(args.csv, evaluate, max_rows=args.max_rows,
+                              extra_cols={"platform": platform})
     print(f"worker {args.worker_id}: processed {n} rows")
 
 
