@@ -32,7 +32,15 @@ run_group() {
   echo "[seedext-$SIDE] $(date -u +%H:%M:%S) rc=$?: $*" >> "$LOG"
 }
 
-run_group --regions hhs --models UONN --nums 5 6
-run_group --regions US  --models CONN --nums 5 6
-run_group --regions US  --models SONN --nums 7 8
+# Multiple passes: fiude cells can lose a chip-lock race against a sweep
+# unit (chip_lock(timeout=1800) raises) — --resume dedups completed cells,
+# so re-running a finished group is a no-op row_exists scan.
+for PASS in 1 2 3 4; do
+  echo "[seedext-$SIDE] pass $PASS" >> "$LOG"
+  run_group --regions hhs --models UONN --nums 5 6
+  run_group --regions US  --models CONN --nums 5 6
+  run_group --regions US  --models SONN --nums 7 8
+  [ "$(date +%s)" -ge "$DEADLINE" ] && break
+  [ "$SIDE" = torch ] && break   # torch groups run to completion first try
+done
 echo "[seedext-$SIDE] done $(date -u)" >> "$LOG"
