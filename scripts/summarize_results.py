@@ -37,13 +37,66 @@ def summarize(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+# Reference family orderings by committed mean test NLL over seasons and
+# horizons, computed from /root/reference/results_table.csv (589 rows; the
+# aggregation in BASELINE.md).  Used by --ordering to show, side by side,
+# which families the reference ranks where at each region scale.
+REFERENCE_MEAN_NLL = {
+    "US":    {"CONN": 7.083, "UONN": 4.833, "SONN": 1.953, "CONNb": 9.799,
+              "UONNb": 6.618, "SONNb": 1.293, "UONN_pre": 1.186},
+    "hhs":   {"CONN": 1.348, "UONN": 1.702, "SONN": 1.401, "CONNb": 1.304,
+              "UONNb": 1.687, "SONNb": 1.379},
+    "state": {"CONN": 2.071, "UONN": 2.035, "SONN": 2.007, "CONNb": 2.210,
+              "UONNb": 2.196, "SONNb": 2.105},
+}
+
+
+def family_ordering(df: pd.DataFrame) -> None:
+    """Per-region family ordering by median season-mean NLL over runs,
+    next to the reference's committed ordering (results_table.csv)."""
+    nll_cols = [c for c in df.columns if NLL_COL.match(str(c))]
+    print("| region | family | runs | median NLL | rank here | ref mean "
+          "| rank upstream |")
+    print("|---|---|---|---|---|---|---|")
+    for region, g in df.groupby("region"):
+        med = {}
+        for model, gg in g.groupby("ode_name"):
+            per_run = np.nanmean(gg[nll_cols].to_numpy(float), axis=1)
+            med[model] = (float(np.nanmedian(per_run)), len(gg))
+        here_rank = {m: i + 1 for i, m in
+                     enumerate(sorted(med, key=lambda m: med[m][0]))}
+        ref = REFERENCE_MEAN_NLL.get(str(region), {})
+        ref_rank = {m: i + 1 for i, m in
+                    enumerate(sorted((m for m in med if m in ref),
+                                     key=lambda m: ref[m]))}
+        for m in sorted(med, key=lambda m: med[m][0]):
+            rv = f"{ref[m]:.2f}" if m in ref else "—"
+            rr = str(ref_rank[m]) if m in ref_rank else "—"
+            print(f"| {region} | {m} | {med[m][1]} | {med[m][0]:.2f} "
+                  f"| {here_rank[m]} | {rv} | {rr} |")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("csv")
     ap.add_argument("--markdown", action="store_true",
                     help="print a GitHub markdown table")
+    ap.add_argument("--ordering", action="store_true",
+                    help="per-region family ordering (median NLL) vs the "
+                         "reference's committed results_table.csv ordering")
+    ap.add_argument("--windows", nargs="+", type=float, default=None,
+                    help="restrict to these window_size values")
+    ap.add_argument("--epochs", nargs="+", type=float, default=None,
+                    help="restrict to these epoch budgets")
     args = ap.parse_args()
     df = pd.read_csv(args.csv, index_col=0)
+    if args.windows is not None and "window_size" in df:
+        df = df[df["window_size"].isin(args.windows)]
+    if args.epochs is not None and "epochs" in df:
+        df = df[df["epochs"].isin(args.epochs)]
+    if args.ordering:
+        family_ordering(df)
+        return
     out = summarize(df)
     if args.markdown:
         print("| region | model | runs | mean NLL | mean skill |")
