@@ -281,6 +281,8 @@ def run_tuning_worker(csv_path: str,
     import pandas as pd
     from filelock import FileLock
 
+    from fiude_tpu.utils.results import atomic_to_csv
+
     lock = FileLock(csv_path + ".lock")
     processed = 0
     for _ in range(max_rows):
@@ -291,7 +293,7 @@ def run_tuning_worker(csv_path: str,
                 return processed
             row = df.index[int(np.min(open_rows))]
             df.loc[row, "started"] = 1
-            df.to_csv(csv_path)
+            atomic_to_csv(df, csv_path)
 
         score = fail_score
         try:
@@ -304,6 +306,6 @@ def run_tuning_worker(csv_path: str,
             df.loc[row, "score"] = score
             for k, v in (extra_cols or {}).items():
                 df.loc[row, k] = v
-            df.to_csv(csv_path)
+            atomic_to_csv(df, csv_path)
         processed += 1
     return processed

@@ -19,6 +19,18 @@ from filelock import FileLock
 from fiude_tpu.utils import metrics as Metrics
 
 
+def atomic_to_csv(df: pd.DataFrame, csv_path: str) -> None:
+    """Write ``df`` to ``csv_path`` via a same-directory temp file +
+    ``os.replace`` so a SIGKILL/timeout mid-write can never leave a
+    truncated table behind (readers see either the old or the new file,
+    never a partial one).  The reference's bare ``df.to_csv`` inside the
+    lock (tuning/tune_node.py:247,258) has this hazard; our sweep chains
+    run every worker under ``timeout`` so it actually fires."""
+    tmp_path = csv_path + f".tmp.{os.getpid()}"
+    df.to_csv(tmp_path)
+    os.replace(tmp_path, csv_path)
+
+
 def evaluate_forecast(y_pred: np.ndarray, y_test: np.ndarray,
                       scaler: np.ndarray, *, window_size: int,
                       test_season: int) -> Dict[str, float]:
@@ -71,7 +83,7 @@ def upsert_results_row(file_name: str, variables: Dict, values: Dict) -> None:
 
         for key, value in {**variables, **values}.items():
             df.loc[row, key] = value
-        df.to_csv(csv_path)
+        atomic_to_csv(df, csv_path)
 
 
 def test_and_record(trainer, scaler, x_test, y_test, t, *, test_season: int,

@@ -44,7 +44,8 @@ def main():
             new = [r for r in rows
                    if tuple(int(r[k]) for k in keys) not in have]
             df = pd.concat([old, pd.DataFrame(new)], ignore_index=True)
-            df.to_csv(args.out)
+            from fiude_tpu.utils.results import atomic_to_csv
+            atomic_to_csv(df, args.out)
         print(f"extended {args.out}: {len(old)} existing + {len(new)} new "
               f"= {len(df)} rows")
         return

@@ -161,3 +161,37 @@ class TestTuningWorker:
         assert df.loc[1, "score"] == pytest.approx(10.0)  # sentinel on crash
         assert df.loc[2, "score"] == pytest.approx(10.0)  # untouched
         assert (df["started"] == 1).all()
+
+
+class TestAtomicCSV:
+    """A timeout/SIGKILL mid-write must never truncate a shared table
+    (observed live: a `timeout`-killed tuning unit left a 0-byte
+    validation_scores CSV that crashed every other worker)."""
+
+    def test_replace_not_truncate(self, tmp_path, monkeypatch):
+        from fiude_tpu.utils.results import atomic_to_csv
+
+        csv = str(tmp_path / "t.csv")
+        pd.DataFrame([{"a": 1}]).to_csv(csv)
+
+        def killed_to_csv(self, path, *a, **k):
+            # simulate SIGKILL after the tmp file is opened but before
+            # any bytes land: the destination must keep the old content
+            open(path, "w").close()
+            raise KeyboardInterrupt
+
+        monkeypatch.setattr(pd.DataFrame, "to_csv", killed_to_csv)
+        with pytest.raises(KeyboardInterrupt):
+            atomic_to_csv(pd.DataFrame([{"a": 2}]), csv)
+        monkeypatch.undo()
+        df = pd.read_csv(csv, index_col=0)
+        assert df.loc[0, "a"] == 1  # old table intact, not 0 bytes
+
+    def test_writes_through(self, tmp_path):
+        from fiude_tpu.utils.results import atomic_to_csv
+
+        csv = str(tmp_path / "t.csv")
+        atomic_to_csv(pd.DataFrame([{"a": 3}]), csv)
+        df = pd.read_csv(csv, index_col=0)
+        assert df.loc[0, "a"] == 3
+        assert list((tmp_path).glob("*.tmp.*")) == []  # no leftovers on success
