@@ -46,9 +46,15 @@ def main() -> None:
     top = scored.sort_values("score").head(args.top)
     print("| rank | " + " | ".join(hp_cols) + " | score |")
     print("|" + "---|" * (len(hp_cols) + 2))
+    def _fmt(v):
+        try:
+            f = float(v)
+        except (TypeError, ValueError):
+            return str(v)  # non-numeric provenance columns (e.g. platform)
+        return str(int(f)) if f.is_integer() else str(v)
+
     for rank, (_, row) in enumerate(top.iterrows(), 1):
-        vals = " | ".join(str(int(row[c]) if float(row[c]).is_integer()
-                              else row[c]) for c in hp_cols)
+        vals = " | ".join(_fmt(row[c]) for c in hp_cols)
         print(f"| {rank} | {vals} | {row['score']:.3f} |")
 
     print("\n### Marginals (median score by hyperparameter value)\n")
